@@ -1,0 +1,207 @@
+"""Torch checkpoint -> flax parameter conversion.
+
+Maps ultralytics-style YOLOv3 state_dicts (the reference's yolov3.pt; naming
+``model.{i}.conv.weight`` / ``model.{i}.cv1.bn.running_mean`` /
+``model.{i}.m.{j}.weight``, see /root/reference/yolov3/models/yolo.py:299+)
+and the reference Agent/Value checkpoints (``ckpt['agent_model']`` layout,
+train.py:471-486) onto this framework's flax trees.
+
+Layout conversions:
+  * conv weight  [O, I, kh, kw] -> HWIO [kh, kw, I, O]
+  * linear weight [O, I] -> [I, O]
+  * BatchNorm (weight, bias, running_mean, running_var)
+        -> (scale, bias) in params and (mean, var) in batch_stats
+  * the 4096-dim trunk flatten: torch flattens NCHW [C,4,4] c-major while
+    NHWC flattens (h, w, c); any Dense consuming trunk features gets its
+    input rows permuted accordingly.
+
+Accepts state_dicts of numpy arrays (call .numpy() on torch tensors first, or
+pass tensors — anything with ``__array__`` works).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def conv_weight(w):
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def linear_weight(w):
+    return _np(w).transpose(1, 0)
+
+
+def nchw_flatten_permutation(c: int, h: int, w: int) -> np.ndarray:
+    """perm[nhwc_index] = nchw_index for a flattened [C,H,W] feature map."""
+    idx = np.arange(c * h * w).reshape(c, h, w)  # value = torch flat index
+    return idx.transpose(1, 2, 0).reshape(-1)    # ordered by (h, w, c)
+
+
+def dense_on_trunk_features(w, c: int = 256, h: int = 4, wdt: int = 4):
+    """Convert a torch Linear eating flattened trunk features: permute the
+    input dimension from (c, h, w) order to (h, w, c) order, then transpose."""
+    w = _np(w)  # [O, C*H*W]
+    perm = nchw_flatten_permutation(c, h, wdt)
+    return w[:, perm].transpose(1, 0)  # [I(nhwc), O]
+
+
+# --------------------------------------------------------------------------- #
+# YOLO detector
+# --------------------------------------------------------------------------- #
+def convert_yolo_state_dict(sd: Dict[str, np.ndarray], n_layers: int = 29,
+                            n_levels: int = 3) -> Tuple[dict, dict]:
+    """ultralytics state_dict -> (params, batch_stats) for DetectionModel.
+
+    Handles Conv (conv+bn), Bottleneck (cv1/cv2), and the Detect head's
+    per-level convs (``model.{last}.m.{i}``).  Repetition blocks in the spec
+    use names ``l{i}_{r}``; ultralytics flattens repeats into
+    ``model.{i}.m...``?  No — ultralytics repeats become separate sequential
+    children inside one nn.Sequential at index i, named ``model.{i}.{r}``.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+
+    def convert_convbn(prefix_torch, path_flax):
+        put(params, path_flax + ("conv", "kernel"),
+            conv_weight(sd[f"{prefix_torch}.conv.weight"]))
+        put(params, path_flax + ("bn", "scale"),
+            _np(sd[f"{prefix_torch}.bn.weight"]))
+        put(params, path_flax + ("bn", "bias"),
+            _np(sd[f"{prefix_torch}.bn.bias"]))
+        put(stats, path_flax + ("bn", "mean"),
+            _np(sd[f"{prefix_torch}.bn.running_mean"]))
+        put(stats, path_flax + ("bn", "var"),
+            _np(sd[f"{prefix_torch}.bn.running_var"]))
+
+    keys = list(sd.keys())
+    layer_ids = sorted({int(k.split(".")[1]) for k in keys
+                        if k.startswith("model.")})
+    detect_idx = layer_ids[-1]
+
+    for i in layer_ids:
+        lk = [k for k in keys if k.startswith(f"model.{i}.")]
+        if i == detect_idx:
+            for lvl in range(n_levels):
+                put(params, (f"l{i}", f"m{lvl}", "kernel"),
+                    conv_weight(sd[f"model.{i}.m.{lvl}.weight"]))
+                put(params, (f"l{i}", f"m{lvl}", "bias"),
+                    _np(sd[f"model.{i}.m.{lvl}.bias"]))
+            continue
+        # repeated blocks: "model.{i}.{r}.cv1..." ; single: "model.{i}.cv1..."
+        rep_ids = sorted({int(k.split(".")[2]) for k in lk
+                          if k.split(".")[2].isdigit()})
+        if rep_ids:
+            for r in rep_ids:
+                base = f"model.{i}.{r}"
+                name = f"l{i}_{r}"
+                if f"{base}.cv1.conv.weight" in sd:
+                    convert_convbn(f"{base}.cv1", (name, "cv1"))
+                    convert_convbn(f"{base}.cv2", (name, "cv2"))
+                else:
+                    convert_convbn(base, (name,))
+        else:
+            if f"model.{i}.cv1.conv.weight" in sd:
+                convert_convbn(f"model.{i}.cv1", (f"l{i}", "cv1"))
+                convert_convbn(f"model.{i}.cv2", (f"l{i}", "cv2"))
+            elif f"model.{i}.conv.weight" in sd:
+                convert_convbn(f"model.{i}", (f"l{i}",))
+            # else: parameter-free layer (Upsample/Concat/MaxPool)
+    return params, stats
+
+
+# --------------------------------------------------------------------------- #
+# Agent / Value RL checkpoints
+# --------------------------------------------------------------------------- #
+def convert_feature_extractor(sd: Dict[str, np.ndarray], prefix: str,
+                              out_prefix_params: dict,
+                              out_prefix_stats: dict) -> None:
+    """Reference FeatureExtractor Sequential: layers.{3k}=conv,
+    layers.{3k+1}=bn (agent.py:39-53)."""
+    conv_ids = sorted({int(k.split(".")[-2]) for k in sd
+                       if k.startswith(f"{prefix}.layers.")
+                       and k.endswith(".weight")
+                       and "running" not in k})
+    conv_ids = [i for i in conv_ids if i % 3 == 0]
+    for n, i in enumerate(conv_ids):
+        name = f"Conv_{n}" if n else "Conv_0"
+        bn_name = f"BatchNorm_{n}" if n else "BatchNorm_0"
+        out_prefix_params[name] = {
+            "kernel": conv_weight(sd[f"{prefix}.layers.{i}.weight"]),
+            "bias": _np(sd[f"{prefix}.layers.{i}.bias"]),
+        }
+        out_prefix_params[bn_name] = {
+            "scale": _np(sd[f"{prefix}.layers.{i + 1}.weight"]),
+            "bias": _np(sd[f"{prefix}.layers.{i + 1}.bias"]),
+        }
+        out_prefix_stats[bn_name] = {
+            "mean": _np(sd[f"{prefix}.layers.{i + 1}.running_mean"]),
+            "var": _np(sd[f"{prefix}.layers.{i + 1}.running_var"]),
+        }
+
+
+def convert_agent_state_dict(sd: Dict[str, np.ndarray], cfg) -> Tuple[dict, dict]:
+    """Reference Agent state_dict -> (params, batch_stats) for policy.Agent.
+
+    Reference naming: feature_extractor.*, action_selection.*, fc1/fc2
+    (selector head), and per-filter heads named by short_name
+    (agent.py:71-83, e.g. "E.fc1.weight", "NLM.fc_filter.bias").
+    """
+    from adaptiveisp_tpu.ops.bank import filter_specs
+
+    params: dict = {}
+    stats: dict = {}
+    for trunk in ("feature_extractor", "action_selection"):
+        p, s = {}, {}
+        convert_feature_extractor(sd, trunk, p, s)
+        params[trunk] = p
+        stats[trunk] = s
+
+    params["selector_head"] = {
+        "Dense_0": {"kernel": dense_on_trunk_features(sd["fc1.weight"]),
+                    "bias": _np(sd["fc1.bias"])},
+        "Dense_1": {"kernel": linear_weight(sd["fc2.weight"]),
+                    "bias": _np(sd["fc2.bias"])},
+    }
+    for spec in filter_specs(cfg):
+        sn = spec.short_name
+        params[f"head_{spec.name}"] = {
+            "fc1": {"kernel": dense_on_trunk_features(sd[f"{sn}.fc1.weight"]),
+                    "bias": _np(sd[f"{sn}.fc1.bias"])},
+            "fc_filter": {
+                "kernel": linear_weight(sd[f"{sn}.fc_filter.weight"]),
+                "bias": _np(sd[f"{sn}.fc_filter.bias"])},
+            "fc_mask": {
+                "kernel": linear_weight(sd[f"{sn}.fc_mask.weight"]),
+                "bias": _np(sd[f"{sn}.fc_mask.bias"])},
+        }
+    return params, stats
+
+
+def convert_value_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
+    """Reference Value state_dict -> (params, batch_stats) for policy.Value."""
+    params: dict = {}
+    stats: dict = {}
+    p, s = {}, {}
+    convert_feature_extractor(sd, "feature_extractor", p, s)
+    params["feature_extractor"] = p
+    stats["feature_extractor"] = s
+    params["head"] = {
+        "Dense_0": {"kernel": dense_on_trunk_features(sd["fc1.weight"]),
+                    "bias": _np(sd["fc1.bias"])},
+        "Dense_1": {"kernel": linear_weight(sd["fc2.weight"]),
+                    "bias": _np(sd["fc2.bias"])},
+    }
+    return params, stats

@@ -1,0 +1,173 @@
+"""Detection metrics: mAP machinery (host-side NumPy) + confusion matrix.
+
+Counterparts of /root/reference/yolov3/utils/metrics.py:
+  ap_per_class (:31-95), compute_ap (:98-123), fitness (:17-20), smooth
+  (:24-29), ConfusionMatrix (:126-219), and the IoU-threshold matching of
+  val_adaptiveisp.py:79-101 (process_batch).
+
+These run on host after device NMS — PR-curve interpolation over a full val
+set is trivially cheap versus the conv stacks, and keeping NumPy here gives
+bit-parity with the published COCO 101-point protocol.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from adaptiveisp_tpu.detect.boxes import box_iou_np
+
+
+def fitness(x: np.ndarray) -> np.ndarray:
+    """0.1*mAP50 + 0.9*mAP (reference metrics.py:17-20)."""
+    w = np.array([0.0, 0.0, 0.1, 0.9])
+    return (x[:, :4] * w).sum(1)
+
+
+def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
+    nf = round(len(y) * f * 2) // 2 + 1
+    p = np.ones(nf // 2)
+    yp = np.concatenate(([y[0]] * (nf // 2), y, [y[-1]] * (nf // 2)), 0)
+    return np.convolve(yp, np.ones(nf) / nf, mode="valid")
+
+
+def compute_ap(recall, precision):
+    """101-point COCO-interpolated AP (reference metrics.py:98-123)."""
+    mrec = np.concatenate(([0.0], recall, [1.0]))
+    mpre = np.concatenate(([1.0], precision, [0.0]))
+    mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
+    x = np.linspace(0, 1, 101)
+    ap = np.trapz(np.interp(x, mrec, mpre), x)
+    return ap, mpre, mrec
+
+
+def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
+    """Per-class AP from accumulated predictions (reference metrics.py:31-95).
+
+    tp: [n_pred, n_iou] bool; conf, pred_cls: [n_pred]; target_cls: [n_gt].
+    Returns (tp, fp, p, r, f1, ap[nc, n_iou], unique_classes).
+    """
+    i = np.argsort(-conf)
+    tp, conf, pred_cls = tp[i], conf[i], pred_cls[i]
+
+    unique_classes, nt = np.unique(target_cls, return_counts=True)
+    nc = unique_classes.shape[0]
+
+    px = np.linspace(0, 1, 1000)
+    ap = np.zeros((nc, tp.shape[1]))
+    p = np.zeros((nc, 1000))
+    r = np.zeros((nc, 1000))
+    for ci, c in enumerate(unique_classes):
+        i = pred_cls == c
+        n_l = nt[ci]
+        n_p = i.sum()
+        if n_p == 0 or n_l == 0:
+            continue
+        fpc = (1 - tp[i]).cumsum(0)
+        tpc = tp[i].cumsum(0)
+        recall = tpc / (n_l + eps)
+        r[ci] = np.interp(-px, -conf[i], recall[:, 0], left=0)
+        precision = tpc / (tpc + fpc)
+        p[ci] = np.interp(-px, -conf[i], precision[:, 0], left=1)
+        for j in range(tp.shape[1]):
+            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+
+    f1 = 2 * p * r / (p + r + eps)
+    i = smooth(f1.mean(0), 0.1).argmax()
+    p, r, f1 = p[:, i], r[:, i], f1[:, i]
+    tp_count = (r * nt).round()
+    fp_count = (tp_count / (p + eps) - tp_count).round()
+    return tp_count, fp_count, p, r, f1, ap, unique_classes.astype(int)
+
+
+def process_batch(detections: np.ndarray, labels: np.ndarray,
+                  iouv: np.ndarray) -> np.ndarray:
+    """Correct-prediction matrix at 10 IoU thresholds
+    (reference val_adaptiveisp.py:79-101).
+
+    detections: [N, 6] (xyxy, conf, cls); labels: [M, 5] (cls, xyxy).
+    Returns bool [N, len(iouv)].
+    """
+    correct = np.zeros((detections.shape[0], iouv.shape[0]), bool)
+    if detections.shape[0] == 0 or labels.shape[0] == 0:
+        return correct
+    iou = box_iou_np(labels[:, 1:], detections[:, :4])
+    correct_class = labels[:, 0:1] == detections[:, 5]
+    for i in range(len(iouv)):
+        li, di = np.where((iou >= iouv[i]) & correct_class)
+        if li.shape[0]:
+            matches = np.stack([li, di, iou[li, di]], axis=1)
+            if li.shape[0] > 1:
+                matches = matches[matches[:, 2].argsort()[::-1]]
+                matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
+                matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
+            correct[matches[:, 1].astype(int), i] = True
+    return correct
+
+
+class ConfusionMatrix:
+    """(nc+1)x(nc+1) detection confusion matrix (reference metrics.py:126-219)."""
+
+    def __init__(self, nc: int, conf: float = 0.25, iou_thres: float = 0.45):
+        self.matrix = np.zeros((nc + 1, nc + 1))
+        self.nc = nc
+        self.conf = conf
+        self.iou_thres = iou_thres
+
+    def process_batch(self, detections, labels):
+        if detections is None or detections.shape[0] == 0:
+            if labels.shape[0]:
+                for gc in labels[:, 0].astype(int):
+                    self.matrix[self.nc, gc] += 1  # background FN
+            return
+        detections = detections[detections[:, 4] > self.conf]
+        gt_classes = labels[:, 0].astype(int)
+        det_classes = detections[:, 5].astype(int)
+        if labels.shape[0] == 0:
+            for dc in det_classes:
+                self.matrix[dc, self.nc] += 1
+            return
+        iou = box_iou_np(labels[:, 1:], detections[:, :4])
+        li, di = np.where(iou > self.iou_thres)
+        if li.shape[0]:
+            matches = np.stack([li, di, iou[li, di]], axis=1)
+            if li.shape[0] > 1:
+                matches = matches[matches[:, 2].argsort()[::-1]]
+                matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
+                matches = matches[matches[:, 2].argsort()[::-1]]
+                matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
+        else:
+            matches = np.zeros((0, 3))
+        n = matches.shape[0] > 0
+        m0, m1, _ = matches.transpose().astype(int)
+        for i, gc in enumerate(gt_classes):
+            j = m0 == i
+            if n and j.sum() == 1:
+                self.matrix[det_classes[m1[j]][0], gc] += 1
+            else:
+                self.matrix[self.nc, gc] += 1
+        if n:
+            for i, dc in enumerate(det_classes):
+                if not (m1 == i).any():
+                    self.matrix[dc, self.nc] += 1
+
+    def tp_fp(self):
+        tp = self.matrix.diagonal()
+        fp = self.matrix.sum(1) - tp
+        return tp[:-1], fp[:-1]
+
+
+def summarize(stats) -> Dict[str, float]:
+    """mp/mr/map50/map from accumulated (correct, conf, pcls, tcls) tuples."""
+    stats = [np.concatenate(x, 0) for x in zip(*stats)]
+    if len(stats) and stats[0].any():
+        _, _, p, r, f1, ap, _ = ap_per_class(*stats)
+        ap50, ap_mean = ap[:, 0], ap.mean(1)
+        return {
+            "precision": float(p.mean()),
+            "recall": float(r.mean()),
+            "map50": float(ap50.mean()),
+            "map": float(ap_mean.mean()),
+        }
+    return {"precision": 0.0, "recall": 0.0, "map50": 0.0, "map": 0.0}

@@ -1,0 +1,183 @@
+"""Spec-driven YOLO detection model (flax).
+
+Covers the reference's YAML->graph builder + sequential-with-skips executor
+(/root/reference/yolov3/models/yolo.py:109-261, parse_model :299+): the layer
+list from :mod:`adaptiveisp_tpu.detect.spec` is traced once into a static XLA
+graph; the save-list logic becomes ordinary Python during tracing.
+
+Outputs are raw per-level logits in TPU-friendly layout [N, ny, nx, na, no];
+box decoding is the pure function :func:`decode_predictions` (the reference's
+Detect inference branch, yolo.py:56-89).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from adaptiveisp_tpu.detect.layers import (
+    Bottleneck,
+    ConvBNAct,
+    max_pool,
+    upsample_nearest_2x,
+)
+from adaptiveisp_tpu.detect.spec import YOLOV3_SPEC, flatten_layers
+
+
+class DetectHead(nn.Module):
+    """Per-level 1x1 prediction convs (reference yolo.py:38-61)."""
+
+    nc: int
+    na: int
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray]):
+        no = self.nc + 5
+        outs = []
+        for i, x in enumerate(xs):
+            y = nn.Conv(self.na * no, kernel_size=(1, 1), use_bias=True,
+                        name=f"m{i}")(x)
+            n, ny, nx, _ = y.shape
+            # [N, ny, nx, na, no] — channel-last keeps the 85-dim vector in
+            # lanes for the decode/loss elementwise work.
+            outs.append(y.reshape(n, ny, nx, self.na, no))
+        return outs
+
+
+class DetectionModel(nn.Module):
+    """Executes a declarative layer spec (backbone + head)."""
+
+    spec: Any = None
+    nc: int | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        spec = self.spec or YOLOV3_SPEC
+        nc = self.nc if self.nc is not None else spec["nc"]
+        layers = flatten_layers(spec)
+        anchors = spec["anchors"]
+        na = len(anchors[0]) // 2
+
+        outputs: List[jnp.ndarray] = []
+        for i, (frm, num, mod, args) in enumerate(layers):
+            if isinstance(frm, int):
+                inp = x if frm == -1 else outputs[frm]
+            else:
+                inp = [x if j == -1 else outputs[j] for j in frm]
+
+            if mod == "Conv":
+                c2, k, s = args[0], args[1], args[2]
+                y = inp
+                for r in range(num):
+                    y = ConvBNAct(c2, k, s, name=f"l{i}_{r}" if num > 1
+                                  else f"l{i}")(y, train=train)
+            elif mod == "Bottleneck":
+                shortcut = args[1] if len(args) > 1 else True
+                y = inp
+                for r in range(num):
+                    y = Bottleneck(args[0], shortcut,
+                                   name=f"l{i}_{r}" if num > 1
+                                   else f"l{i}")(y, train=train)
+            elif mod == "Upsample":
+                y = upsample_nearest_2x(inp)
+            elif mod == "Concat":
+                y = jnp.concatenate(inp, axis=-1)
+            elif mod == "MaxPool":
+                y = max_pool(inp, args[0], args[1])
+            elif mod == "ZeroPad":
+                l, r, t, b = args[0]
+                y = jnp.pad(inp, ((0, 0), (t, b), (l, r), (0, 0)))
+            elif mod == "Detect":
+                y = DetectHead(nc=nc, na=na, name=f"l{i}")(inp)
+            else:
+                raise ValueError(f"Unknown module {mod}")
+            outputs.append(y)
+            x = y if not isinstance(y, list) else x
+        return outputs[-1]
+
+
+def model_strides(spec=None, imgsz: int = 256) -> Tuple[int, ...]:
+    """Detection strides; (8, 16, 32) for v3, (16, 32) for tiny."""
+    spec = spec or YOLOV3_SPEC
+    return (8, 16, 32) if len(spec["anchors"]) == 3 else (16, 32)
+
+
+def anchors_in_grid_units(spec=None) -> List[np.ndarray]:
+    """Anchors divided by stride (the form the loss uses, yolo.py:197)."""
+    spec = spec or YOLOV3_SPEC
+    strides = model_strides(spec)
+    out = []
+    for lvl, s in enumerate(strides):
+        a = np.asarray(spec["anchors"][lvl], np.float32).reshape(-1, 2)
+        out.append(a / s)
+    return out
+
+
+def decode_predictions(preds: Sequence[jnp.ndarray], spec=None):
+    """Decode raw per-level logits to [N, total, no] pixel-space boxes.
+
+    xy = (2*sig(txy) + grid - 0.5) * stride; wh = (2*sig(twh))^2 * anchor_px;
+    conf/cls = sig (reference yolo.py:63-77 with grid offset -0.5 baked into
+    _make_grid, yolo.py:81-89).
+    """
+    spec = spec or YOLOV3_SPEC
+    strides = model_strides(spec)
+    zs = []
+    for lvl, (p, stride) in enumerate(zip(preds, strides)):
+        n, ny, nx, na, no = p.shape
+        y = nn.sigmoid(p)
+        gy = jnp.arange(ny, dtype=p.dtype)
+        gx = jnp.arange(nx, dtype=p.dtype)
+        gxv, gyv = jnp.meshgrid(gx, gy)  # [ny, nx]
+        grid = jnp.stack([gxv, gyv], axis=-1) - 0.5  # [ny, nx, 2]
+        anchors_px = jnp.asarray(
+            spec["anchors"][lvl], p.dtype).reshape(na, 2)
+
+        xy = (y[..., 0:2] * 2 + grid[None, :, :, None, :]) * stride
+        wh = (y[..., 2:4] * 2) ** 2 * anchors_px[None, None, None, :, :]
+        z = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
+        zs.append(z.reshape(n, ny * nx * na, no))
+    return jnp.concatenate(zs, axis=1)
+
+
+def create_detector(key, spec=None, nc: int | None = None, imgsz: int = 256):
+    spec = spec or YOLOV3_SPEC
+    model = DetectionModel(spec=spec, nc=nc)
+    x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+    variables = model.init({"params": key}, x, train=False)
+    return model, variables
+
+
+def initialize_detect_biases(variables, spec=None, imgsz: int = 640,
+                             cf=None):
+    """Focal-style prior init of Detect biases (reference yolo.py:253-261)."""
+    import jax
+
+    spec = spec or YOLOV3_SPEC
+    strides = model_strides(spec)
+    nc = spec["nc"]
+    params = variables["params"]
+    detect_name = [k for k in params if k.startswith("l")][-1]
+    # find Detect layer: the module named l<last>
+    names = sorted((k for k in params if k[1:].split("_")[0].isdigit()),
+                   key=lambda k: int(k[1:].split("_")[0]))
+    detect_name = names[-1]
+    det = dict(params[detect_name])
+    for i, s in enumerate(strides):
+        sub = dict(det[f"m{i}"])
+        b = np.array(sub["bias"]).reshape(len(spec["anchors"][i]) // 2, -1)
+        b[:, 4] += np.log(8 / (imgsz / s) ** 2)
+        if cf is None:
+            b[:, 5:5 + nc] += np.log(0.6 / (nc - 0.99999))
+        else:
+            b[:, 5:5 + nc] += np.log(cf / cf.sum())
+        sub["bias"] = jnp.asarray(b.reshape(-1))
+        det[f"m{i}"] = sub
+    params = dict(params)
+    params[detect_name] = det
+    out = dict(variables)
+    out["params"] = params
+    return jax.tree_util.tree_map(jnp.asarray, out)

@@ -1,0 +1,100 @@
+"""Fixed-shape non-maximum suppression for TPU.
+
+The reference relies on torchvision.ops.nms with dynamic shapes
+(/root/reference/yolov3/utils/general.py:856-966).  XLA needs static shapes,
+so this NMS:
+  * gates candidates by objectness > conf_thres with a mask (no filtering),
+  * expands multi-label (box, class) pairs statically,
+  * keeps the top `max_nms` by score,
+  * offsets boxes by class * max_wh (the class-offset trick, general.py:944),
+  * greedily selects up to `max_det` boxes with an O(max_det * max_nms)
+    suppression loop under `lax.fori_loop`.
+
+Returns padded [N, max_det, 6] (xyxy, conf, cls) plus a validity count —
+semantically equal to the reference output for every box above threshold.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from adaptiveisp_tpu.detect.boxes import box_iou, xywh2xyxy
+
+MAX_WH = 7680.0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms",
+                     "multi_label", "agnostic"))
+def non_max_suppression(prediction, conf_thres: float = 0.25,
+                        iou_thres: float = 0.45, max_det: int = 300,
+                        max_nms: int = 4096, multi_label: bool = False,
+                        agnostic: bool = False):
+    """prediction: [N, n_boxes, 5+nc] decoded (xywh, obj, cls-probs).
+
+    Returns (detections [N, max_det, 6], n_valid [N]).
+    """
+
+    def one_image(x):
+        nc = x.shape[1] - 5
+        obj = x[:, 4]
+        cand = obj > conf_thres
+        box = xywh2xyxy(x[:, :4])
+        cls_conf = x[:, 5:] * obj[:, None]  # conf = obj * cls
+
+        if multi_label and nc > 1:
+            # every (box, class) pair is a candidate row
+            scores = jnp.where(cand[:, None], cls_conf, 0.0).reshape(-1)
+            valid = scores > conf_thres
+            n_boxes = x.shape[0]
+            box_idx = jnp.arange(n_boxes * nc) // nc
+            cls_idx = (jnp.arange(n_boxes * nc) % nc).astype(jnp.float32)
+            boxes = box[box_idx]
+        else:
+            best_cls = jnp.argmax(cls_conf, axis=1)
+            scores = cls_conf[jnp.arange(x.shape[0]), best_cls]
+            scores = jnp.where(cand, scores, 0.0)
+            valid = scores > conf_thres
+            cls_idx = best_cls.astype(jnp.float32)
+            boxes = box
+
+        scores = jnp.where(valid, scores, 0.0)
+        k = min(max_nms, scores.shape[0])
+        top_scores, top_i = jax.lax.top_k(scores, k)
+        top_boxes = boxes[top_i]
+        top_cls = cls_idx[top_i]
+        top_valid = top_scores > conf_thres
+
+        # class offset: boxes of different classes never overlap
+        offset = jnp.where(agnostic, 0.0, top_cls * MAX_WH)
+        off_boxes = top_boxes + offset[:, None]
+        iou = box_iou(off_boxes, off_boxes)  # [k, k]
+
+        # Greedy NMS: survivors are boxes not suppressed by a
+        # higher-scoring survivor.  Sequential scan over score order.
+        def body(i, keep):
+            # box i survives iff no kept higher-score box overlaps it
+            overlap = (iou[i] > iou_thres) & keep
+            higher = jnp.arange(k) < i
+            suppressed = jnp.any(overlap & higher)
+            return keep.at[i].set(jnp.logical_and(keep[i], ~suppressed))
+
+        keep = jax.lax.fori_loop(0, k, body, top_valid)
+
+        # Order: survivors by score (already sorted), pad to max_det
+        keep_scores = jnp.where(keep, top_scores, -1.0)
+        sel_scores, sel = jax.lax.top_k(keep_scores, max_det)
+        det_valid = sel_scores > conf_thres
+        out = jnp.concatenate([
+            top_boxes[sel],
+            jnp.where(det_valid, sel_scores, 0.0)[:, None],
+            top_cls[sel][:, None],
+        ], axis=1)
+        out = jnp.where(det_valid[:, None], out, 0.0)
+        return out, det_valid.sum()
+
+    return jax.vmap(one_image)(prediction)

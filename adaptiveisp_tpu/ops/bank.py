@@ -1,0 +1,150 @@
+"""Filter registry and batched render paths.
+
+The reference models each ISP op as an ``nn.Module`` subclass carrying its own
+parameter-prediction head (/root/reference/isp/filters.py:37-212).  Here the op
+library is a static registry of pure functions; the prediction heads belong to
+the policy network (:mod:`adaptiveisp_tpu.policy.agent`), keeping the op layer
+stateless and trivially jit/vmap-able.
+
+Render paths:
+  * ``render_candidates`` — all K candidates stacked (reference
+    agent.py:103-116 semantics; used for parity tests and training blends).
+  * ``render_blend``      — one-hot weighted sum of candidates (reference
+    agent.py:154).  Gradients flow only through the selected branch because
+    the one-hot is a constant, exactly as in the reference.
+  * ``render_switch``     — computes only the selected branch via
+    ``lax.switch``; mathematically identical to the blend (the selection never
+    depends on the filtered outputs, only on the selector features), and ~K x
+    cheaper when a whole (sub)batch shares one action — the batch-1 adaptive
+    inference path (reference val_adaptiveisp.py:291-309).
+  * ``render_fixed`` / ``render_pipeline`` — fixed-parameter rendering, the
+    reference ``Filter.run`` (filters.py:128-139) and the scripted 5-stage
+    pipelines used for baselines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adaptiveisp_tpu.ops import filters as F
+from adaptiveisp_tpu.ops import masks as M
+from adaptiveisp_tpu.ops.math import lerp
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterSpec:
+    name: str
+    short_name: str
+    n_params: int
+    squash: Callable  # (cfg, raw_feat[N, n_params]) -> params
+    apply: Callable   # (cfg, img_nhwc, params) -> img_nhwc
+
+
+def _spec(name, short, n, squash, apply):
+    return FilterSpec(name, short, n, squash, apply)
+
+
+# Registry of every op the reference defines (filters.py:215-723), including
+# the ones outside the default roster (color, sharpen_usm, sharpen_v2, tone_v2).
+REGISTRY = {
+    "exposure": _spec("exposure", "E", 1, F.squash_exposure, F.apply_exposure),
+    "gamma": _spec("gamma", "G", 1, F.squash_gamma, F.apply_gamma),
+    "ccm": _spec("ccm", "CCM", 9, F.squash_ccm, F.apply_ccm),
+    "sharpen": _spec("sharpen", "Shr", 1, F.squash_sharpen, F.apply_sharpen),
+    "sharpen_v2": _spec("sharpen_v2", "Shr", 1, F.squash_sharpen_v2,
+                        F.apply_sharpen_v2),
+    "sharpen_usm": _spec("sharpen_usm", "USM", 2, F.squash_sharpen_usm,
+                         F.apply_sharpen_usm),
+    "denoise": _spec("denoise", "NLM", 1, F.squash_denoise, F.apply_denoise),
+    "tone": _spec("tone", "T", 8, F.squash_tone, F.apply_tone),
+    "contrast": _spec("contrast", "Ct", 1, F.squash_contrast,
+                      F.apply_contrast),
+    "saturation_plus": _spec("saturation_plus", "S+", 1,
+                             F.squash_saturation_plus, F.apply_saturation_plus),
+    "wnb": _spec("wnb", "BW", 1, F.squash_wnb, F.apply_wnb),
+    "improved_wb": _spec("improved_wb", "W", 3, F.squash_improved_wb,
+                         F.apply_improved_wb),
+    "color": _spec("color", "C", 24, F.squash_color, F.apply_color),
+}
+
+
+def filter_specs(cfg) -> Tuple[FilterSpec, ...]:
+    return tuple(REGISTRY[name] for name in cfg.filters)
+
+
+def short_names(cfg) -> Tuple[str, ...]:
+    return tuple(s.short_name for s in filter_specs(cfg))
+
+
+def param_counts(cfg) -> Tuple[int, ...]:
+    return tuple(s.n_params for s in filter_specs(cfg))
+
+
+def apply_one(cfg, spec: FilterSpec, img, params, mask_params=None):
+    """One full filter step: masked lerp + clip (reference filters.py:91-126)."""
+    mask = M.get_mask(cfg, img, mask_params)
+    out = lerp(img, spec.apply(cfg, img, params), mask)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def render_candidates(cfg, img, params_list: Sequence, mask_params_list=None):
+    """All K filtered candidates, stacked on axis 1 -> [N, K, H, W, 3]."""
+    specs = filter_specs(cfg)
+    outs = []
+    for k, spec in enumerate(specs):
+        mp = None if mask_params_list is None else mask_params_list[k]
+        outs.append(apply_one(cfg, spec, img, params_list[k], mp))
+    return jnp.stack(outs, axis=1)
+
+
+def render_blend(cfg, img, params_list: Sequence, onehot,
+                 mask_params_list=None):
+    """One-hot blend of all candidates (reference agent.py:154).
+
+    onehot: [N, K] float.  Returns [N, H, W, 3].
+    """
+    specs = filter_specs(cfg)
+    out = jnp.zeros_like(img)
+    for k, spec in enumerate(specs):
+        mp = None if mask_params_list is None else mask_params_list[k]
+        cand = apply_one(cfg, spec, img, params_list[k], mp)
+        out = out + cand * onehot[:, k, None, None, None]
+    return out
+
+
+def render_switch(cfg, img, params_list: Sequence, selected_id):
+    """Render only the selected filter via lax.switch.
+
+    ``selected_id`` is a scalar action shared by the whole batch (the batch-1
+    inference case, or a forced ``--pipeline`` step).  Exact equivalent of the
+    blend because selection is independent of the filter outputs.
+    """
+    specs = filter_specs(cfg)
+
+    branches = [
+        (lambda spec=spec, p=p: (lambda im: apply_one(cfg, spec, im, p)))()
+        for spec, p in zip(specs, params_list)
+    ]
+    return jax.lax.switch(selected_id, branches, img)
+
+
+def render_fixed(cfg, img, name: str, params):
+    """Fixed-parameter render, reference ``Filter.run`` (filters.py:128-139).
+
+    With masking disabled this is ``process`` without the final clip, matching
+    the reference (``run`` does not clip; ``forward`` does).
+    """
+    spec = REGISTRY[name]
+    mask = M.get_mask(cfg, img, None)
+    return lerp(img, spec.apply(cfg, img, params), mask)
+
+
+def render_pipeline(cfg, img, stages: Sequence[Tuple[str, jnp.ndarray]]):
+    """Sequential scripted ISP pipeline of (filter_name, params) stages."""
+    for name, params in stages:
+        img = render_fixed(cfg, img, name, params)
+    return img

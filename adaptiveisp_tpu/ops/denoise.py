@@ -1,0 +1,82 @@
+"""Non-local-means denoising, XLA edition.
+
+The reference implements NLM as a Python loop of 121 ``torch.roll`` shifts with
+a 25-shift box sum inside (/root/reference/isp/denoise.py:93-119) — circular
+(wrap-around) boundary semantics.  Here the box sum is a separable pair of
+roll-accumulations and the search loop is unrolled under jit so XLA fuses the
+per-offset elementwise chain; the speed-of-light single-pass version is the
+Pallas kernel in :mod:`adaptiveisp_tpu.ops.pallas.nlm`.
+
+All tensors are NHWC float in [0, 1]; ``h`` (filter strength) is [N, 1].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from adaptiveisp_tpu.ops.math import rgb_to_luminance
+
+EPS = 1e-8
+
+
+def box_sum(x, window_size: int):
+    """Circular box sum over the H, W axes of an NHWC tensor.
+
+    Separable equivalent of the reference ``BoxFilter(reduction='sum')``
+    (denoise.py:46-65), which accumulates ``torch.roll`` shifts.
+    """
+    r = window_size // 2
+    # Sum over rows then columns; roll is circular like torch.roll.
+    row = jnp.zeros_like(x)
+    for dy in range(-r, r + 1):
+        row = row + jnp.roll(x, dy, axis=1)
+    out = jnp.zeros_like(x)
+    for dx in range(-r, r + 1):
+        out = out + jnp.roll(row, dx, axis=2)
+    return out
+
+
+def box_mean(x, window_size: int):
+    return box_sum(x, window_size) / float(window_size * window_size)
+
+
+def nlm_gray(rgb, h, search_window_size: int = 11, patch_size: int = 5):
+    """Gray-guided non-local means (reference NonLocalMeansGray, :93-119).
+
+    rgb: [N, H, W, 3]; h: [N, 1] strength.  Distances are computed on
+    luminance; weights ``exp(-sqrt(relu(boxsum((y - y')^2))) / (relu(h)+eps))``.
+    """
+    r = search_window_size // 2
+    y = rgb_to_luminance(rgb)  # [N, H, W, 1]
+    hh = jnp.maximum(h, 0.0)[:, None, None, :] + EPS  # [N,1,1,1]
+
+    weights = jnp.zeros_like(y)
+    denoised = jnp.zeros_like(rgb)
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            shifted_rgb = jnp.roll(rgb, (dy, dx), axis=(1, 2))
+            shifted_y = jnp.roll(y, (dy, dx), axis=(1, 2))
+            dist = jnp.sqrt(
+                jnp.maximum(box_sum((y - shifted_y) ** 2, patch_size), 0.0))
+            w = jnp.exp(-dist / hh)
+            denoised = denoised + shifted_rgb * w
+            weights = weights + w
+    return jnp.clip(denoised / weights, 0.0, 1.0)
+
+
+def nlm_rgb(rgb, h, search_window_size: int = 21, patch_size: int = 7):
+    """RGB-distance non-local means (reference NonLocalMeans, :68-90)."""
+    r = search_window_size // 2
+    hh = jnp.maximum(h, 0.0)[:, None, None, :] + EPS
+
+    weights = jnp.zeros_like(rgb)
+    denoised = jnp.zeros_like(rgb)
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            shifted = jnp.roll(rgb, (dy, dx), axis=(1, 2))
+            dist = jnp.sqrt(
+                jnp.maximum(box_sum((rgb - shifted) ** 2, patch_size), 0.0))
+            w = jnp.exp(-dist / hh)
+            denoised = denoised + shifted * w
+            weights = weights + w
+    return jnp.clip(denoised / weights, 0.0, 1.0)

@@ -1,0 +1,131 @@
+"""Golden tests for NLM denoise and sharpen kernels vs NumPy oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from adaptiveisp_tpu.ops import denoise as D
+from adaptiveisp_tpu.ops import sharpen as S
+
+RNG = np.random.RandomState(1)
+
+
+# --------------------------------------------------------------------------- #
+# NumPy oracle: circular-shift NLM (formulas per SURVEY.md §2.2 / denoise.py)
+# --------------------------------------------------------------------------- #
+def np_box_sum(x, win):
+    r = win // 2
+    out = np.zeros_like(x)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            out += np.roll(x, (dy, dx), axis=(1, 2))
+    return out
+
+
+def np_nlm_gray(rgb, h, search=11, patch=5):
+    r = search // 2
+    img = np.clip(rgb, 0, 1)
+    y = (0.299 * img[..., :1] + 0.587 * img[..., 1:2] + 0.114 * img[..., 2:])
+    hh = np.maximum(h, 0.0)[:, None, None, :] + 1e-8
+    weights = np.zeros_like(y)
+    out = np.zeros_like(rgb)
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            srgb = np.roll(rgb, (dy, dx), axis=(1, 2))
+            sy = np.roll(y, (dy, dx), axis=(1, 2))
+            dist = np.sqrt(np.maximum(np_box_sum((y - sy) ** 2, patch), 0.0))
+            w = np.exp(-dist / hh)
+            out += srgb * w
+            weights += w
+    return np.clip(out / weights, 0.0, 1.0)
+
+
+def test_box_sum_matches_numpy():
+    x = RNG.rand(1, 12, 12, 1).astype(np.float32)
+    got = np.asarray(D.box_sum(jnp.asarray(x), 5))
+    np.testing.assert_allclose(got, np_box_sum(x, 5), rtol=1e-5, atol=1e-6)
+
+
+def test_nlm_gray_matches_numpy():
+    rgb = RNG.rand(2, 16, 16, 3).astype(np.float32)
+    h = np.array([[0.5], [0.05]], np.float32)
+    got = np.asarray(D.nlm_gray(jnp.asarray(rgb), jnp.asarray(h)))
+    want = np_nlm_gray(rgb, h)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_nlm_zero_strength_near_identity():
+    # h -> 0 gives weight 1 only where distance == 0 (the identity shift and
+    # any exact duplicates); on generic noise the output ~= input.
+    rgb = RNG.rand(1, 16, 16, 3).astype(np.float32)
+    h = np.zeros((1, 1), np.float32)
+    got = np.asarray(D.nlm_gray(jnp.asarray(rgb), jnp.asarray(h)))
+    np.testing.assert_allclose(got, np.clip(rgb, 0, 1), atol=1e-4)
+
+
+def test_nlm_denoises():
+    clean = np.ones((1, 32, 32, 3), np.float32) * 0.5
+    noisy = np.clip(clean + RNG.randn(1, 32, 32, 3).astype(np.float32) * 0.1, 0, 1)
+    out = np.asarray(D.nlm_gray(jnp.asarray(noisy), jnp.asarray([[1.0]], np.float32)))
+    assert np.abs(out - clean).mean() < np.abs(noisy - clean).mean() * 0.5
+
+
+# --------------------------------------------------------------------------- #
+# Sharpen oracles
+# --------------------------------------------------------------------------- #
+def np_blur_keep_border(img):
+    k = np.ones((3, 3), np.float32)
+    k[1, 1] = 5.0
+    k /= k.sum()
+    n, h, w, c = img.shape
+    out = img.copy()
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            patch = img[:, y - 1:y + 2, x - 1:x + 2, :]
+            out[:, y, x, :] = np.einsum("nijc,ij->nc", patch, k)
+    return out
+
+
+def test_adjust_sharpness_matches_numpy():
+    img = RNG.rand(2, 10, 10, 3).astype(np.float32)
+    factor = np.array([0.5, 4.0], np.float32)[:, None, None, None]
+    got = np.asarray(S.adjust_sharpness(jnp.asarray(img), jnp.asarray(factor)))
+    blurred = np_blur_keep_border(img)
+    want = np.clip(img * factor + blurred * (1 - factor), 0, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharpness_matches_numpy():
+    img = RNG.rand(1, 10, 10, 3).astype(np.float32)
+    factor = np.array([2.0], np.float32)[:, None, None, None]
+    got = np.asarray(S.sharpness(jnp.asarray(img), jnp.asarray(factor)))
+    blurred = np_blur_keep_border(img)
+    want = np.clip(img + (img - blurred) * factor, 0, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharpen_factor1_identity():
+    img = RNG.rand(1, 8, 8, 3).astype(np.float32)
+    got = np.asarray(S.adjust_sharpness(jnp.asarray(img), jnp.asarray(1.0)))
+    np.testing.assert_allclose(got, img, atol=1e-6)
+
+
+def test_gaussian_kernel_normalised():
+    k = np.asarray(S.gaussian_kernel1d(5, jnp.asarray(1.3)))
+    assert abs(k.sum() - 1.0) < 1e-6
+    # matches exp(-0.5 x^2/s^2) on linspace(-2, 2, 5)
+    x = np.linspace(-2, 2, 5)
+    want = np.exp(-0.5 * (x / 1.3) ** 2)
+    want /= want.sum()
+    np.testing.assert_allclose(k, want, rtol=1e-5)
+
+
+def test_unsharp_mask_per_sample_params():
+    img = RNG.rand(2, 12, 12, 3).astype(np.float32)
+    sigma = np.array([1.0, 1.0], np.float32)
+    amount = np.array([0.0, 2.0], np.float32)
+    out = np.asarray(S.unsharp_mask(jnp.asarray(img), jnp.asarray(sigma),
+                                    jnp.asarray(amount)))
+    # amount 0 -> identity
+    np.testing.assert_allclose(out[0], img[0], atol=1e-6)
+    # amount 2 -> changed
+    assert np.abs(out[1] - img[1]).max() > 1e-3
