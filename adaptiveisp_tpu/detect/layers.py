@@ -57,5 +57,7 @@ def upsample_nearest_2x(x):
 
 
 def max_pool(x, k: int, s: int):
-    pad = "SAME" if s == 1 else "VALID"
-    return nn.max_pool(x, window_shape=(k, k), strides=(s, s), padding=pad)
+    # torch nn.MaxPool2d(k, s) default padding=0 -> VALID; the tiny spec's
+    # ZeroPad row supplies the asymmetric pad before the stride-1 pool.
+    return nn.max_pool(x, window_shape=(k, k), strides=(s, s),
+                       padding="VALID")

@@ -87,7 +87,12 @@ def non_max_suppression(prediction, conf_thres: float = 0.25,
 
         # Order: survivors by score (already sorted), pad to max_det
         keep_scores = jnp.where(keep, top_scores, -1.0)
-        sel_scores, sel = jax.lax.top_k(keep_scores, max_det)
+        kd = min(max_det, k)
+        sel_scores, sel = jax.lax.top_k(keep_scores, kd)
+        if kd < max_det:
+            sel_scores = jnp.pad(sel_scores, (0, max_det - kd),
+                                 constant_values=-1.0)
+            sel = jnp.pad(sel, (0, max_det - kd))
         det_valid = sel_scores > conf_thres
         out = jnp.concatenate([
             top_boxes[sel],

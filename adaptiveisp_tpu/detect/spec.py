@@ -91,12 +91,12 @@ YOLOV3_TINY_SPEC: Dict[str, Any] = {
     "head": [
         [-1, 1, "Conv", [1024, 3, 1]],
         [-1, 1, "Conv", [256, 1, 1]],
-        [-1, 1, "Conv", [512, 3, 1]],  # 16 (P5/32-large)
+        [-1, 1, "Conv", [512, 3, 1]],  # 15 (P5/32-large)
         [-2, 1, "Conv", [128, 1, 1]],
         [-1, 1, "Upsample", [None, 2, "nearest"]],
         [[-1, 8], 1, "Concat", [1]],
-        [-1, 1, "Conv", [256, 3, 1]],  # 20 (P4/16-medium)
-        [[20, 16], 1, "Detect", ["nc", "anchors"]],
+        [-1, 1, "Conv", [256, 3, 1]],  # 19 (P4/16-medium)
+        [[19, 15], 1, "Detect", ["nc", "anchors"]],
     ],
 }
 
