@@ -1,0 +1,224 @@
+"""Dataset layer: LOD / COCO-synthetic / ROD loaders with letterbox parity.
+
+The reference defines eight ``LoadImagesAndLabels*`` subclasses
+(/root/reference/dataset.py:38-1648; SURVEY §2.1).  They factor cleanly along
+two axes, so this framework uses ONE dataset class with two options instead:
+
+  source:
+    "raw"        sRGB image -> host unprocess -> synthetic RAW
+                 (LoadImagesAndLabelsRAW/RAWV2, dataset.py:38-275)
+    "normalize"  real RAW-ish image, /255 only (LOD; ...Normalize, :577-668)
+    "rod"        .npy HDR, 99th-percentile normalisation (ROD, :1595-1618)
+  high_res:      also return the full-resolution frame for HR rendering
+                 (...HR variants, :278-423, :671-791)
+
+The ``*Replay`` variants' ``get_next_batch`` prefetcher becomes
+:class:`BatchFeeder` (with :mod:`adaptiveisp_tpu.data.prefetch`).
+
+Images load via PIL (cv2-free); pixels reach the device as NHWC float32 in
+[0, 1].
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from adaptiveisp_tpu.data import raw_np
+from adaptiveisp_tpu.data.labels import (
+    img2label_paths,
+    img2label_paths_rod,
+    load_labels,
+    parse_image_list,
+)
+from adaptiveisp_tpu.data.letterbox import letterbox, resize_bilinear
+from adaptiveisp_tpu.detect.boxes import xywhn2xyxy, xyxy2xywhn
+
+
+def load_image_file(path: str) -> np.ndarray:
+    """Read an image file to HWC RGB float32 in [0, 1]."""
+    if path.endswith(".npy"):
+        arr = np.load(path).astype(np.float32)
+        if arr.ndim == 2:
+            arr = arr[:, :, None].repeat(3, axis=2)
+        return arr
+    from PIL import Image
+
+    with Image.open(path) as im:
+        if im.mode != "RGB":
+            im = im.convert("RGB")
+        return np.asarray(im, dtype=np.float32) / 255.0
+
+
+class ISPDataset:
+    """File-list dataset with letterbox + label transform parity."""
+
+    def __init__(self, path: str, img_size: int = 512, source: str = "raw",
+                 high_res: bool = False, augment: bool = False,
+                 add_noise: bool = False, brightness_range=None,
+                 noise_level=None, use_linear: bool = False,
+                 limit: int = -1, train: bool = True,
+                 cache_labels: bool = True):
+        self.img_size = img_size
+        self.source = source
+        self.high_res = high_res
+        self.augment = augment
+        self.add_noise = add_noise
+        self.brightness_range = brightness_range
+        self.noise_level = noise_level
+        self.use_linear = use_linear
+        self.train = train
+
+        self.im_files = parse_image_list(path)
+        if limit > 0:
+            self.im_files = self.im_files[:limit]
+        if not self.im_files:
+            raise FileNotFoundError(f"No images found under {path}")
+        label_fn = img2label_paths_rod if source == "rod" else img2label_paths
+        self.label_files = label_fn(self.im_files)
+        cache = None
+        if cache_labels:
+            cache = os.path.join(
+                os.path.dirname(self.label_files[0]) or ".",
+                f".adaptiveisp_labels_{len(self.im_files)}.cache")
+        self.labels = load_labels(self.im_files, self.label_files, cache)
+        self.indices = np.arange(len(self.im_files))
+
+    def __len__(self):
+        return len(self.im_files)
+
+    # ---------------------------------------------------------------- #
+    def _load_resized(self, index: int):
+        """Load + resize longest side to img_size (reference load_image)."""
+        img = load_image_file(self.im_files[index])
+        h0, w0 = img.shape[:2]
+        r = self.img_size / max(h0, w0)
+        if r != 1:
+            img = resize_bilinear(img, int(round(h0 * r)), int(round(w0 * r)))
+        return img, (h0, w0), img.shape[:2]
+
+    def __getitem__(self, index: int):
+        index = int(self.indices[index])
+        img, (h0, w0), (h, w) = self._load_resized(index)
+
+        if self.source == "raw":
+            if not self.train:
+                # deterministic per-image seed from the filename stem
+                # (reference dataset.py:83-86)
+                stem = os.path.splitext(os.path.split(
+                    self.im_files[index])[1])[0]
+                try:
+                    np.random.seed(int(stem))
+                except ValueError:
+                    np.random.seed(abs(hash(stem)) % (2 ** 31))
+            img, _ = raw_np.unprocess_wo_mosaic(
+                img, self.add_noise, self.brightness_range,
+                self.noise_level, self.use_linear)
+        elif self.source == "rod":
+            # HDR .npy: normalise by the 99th percentile
+            # (reference dataset.py:1196-1219)
+            p99 = np.percentile(img, 99)
+            img = np.clip(img / max(p99, 1e-8), 0.0, 1.0).astype(np.float32)
+        # "normalize": already /255 from the loader
+
+        full_res = img if self.high_res else None
+
+        img, ratio, pad = letterbox(img, self.img_size, color=(0, 0, 0),
+                                    auto=False, scaleup=self.augment)
+        shapes = (h0, w0), ((h / h0, w / w0), pad)
+
+        labels = self.labels[index].copy()
+        if labels.size:
+            labels[:, 1:] = xywhn2xyxy(labels[:, 1:], ratio[0] * w,
+                                       ratio[1] * h, padw=pad[0], padh=pad[1])
+            labels[:, 1:5] = xyxy2xywhn(labels[:, 1:5], w=img.shape[1],
+                                        h=img.shape[0], clip=True, eps=1e-3)
+
+        labels_out = np.zeros((len(labels), 6), np.float32)
+        if len(labels):
+            labels_out[:, 1:] = labels
+
+        out = {
+            "im": img.astype(np.float32),           # HWC [0,1]
+            "label": labels_out,
+            "path": self.im_files[index],
+            "shape": shapes,
+        }
+        if self.high_res:
+            out["im_hr"] = full_res.astype(np.float32)
+        return out
+
+    # ---------------------------------------------------------------- #
+    def get_batch(self, indices: List[int]):
+        records = [self[i] for i in indices]
+        return collate(records)
+
+
+def collate(records):
+    """Stack a list of record dicts into batch arrays + lists.
+
+    Labels get their image-index column set (reference
+    replay_memory.py:9-15 / collate_fn)."""
+    ims = np.stack([r["im"] for r in records], 0)
+    labels = []
+    for i, r in enumerate(records):
+        lb = r["label"].copy()
+        lb[:, 0] = i
+        labels.append(lb)
+    paths = [r["path"] for r in records]
+    shapes = [r["shape"] for r in records]
+    out = {"im": ims, "label": labels, "path": paths, "shape": shapes}
+    if "im_hr" in records[0]:
+        out["im_hr"] = [r["im_hr"] for r in records]
+    return out
+
+
+class BatchFeeder:
+    """Sequential-with-recycling batch source (the reference *Replay
+    datasets' ``get_next_batch``, dataset.py:457-532, 563-573) with an async
+    prefetch thread (util.py:153-201 equivalent)."""
+
+    def __init__(self, dataset: ISPDataset, batch_size: int = 64,
+                 shuffle: bool = True, prefetch: bool = True,
+                 seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self._order = self._new_order()
+        self._cursor = 0
+        self._prefetcher = None
+        if prefetch:
+            from adaptiveisp_tpu.data.prefetch import Prefetcher
+
+            self._prefetcher = Prefetcher(self._next_batch_sync)
+
+    def _new_order(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        return order
+
+    def _next_indices(self, n):
+        out = []
+        while len(out) < n:
+            if self._cursor >= len(self._order):
+                self._order = self._new_order()
+                self._cursor = 0
+            out.append(int(self._order[self._cursor]))
+            self._cursor += 1
+        return out
+
+    def _next_batch_sync(self):
+        return self.dataset.get_batch(self._next_indices(self.batch_size))
+
+    def next_batch(self):
+        if self._prefetcher is not None:
+            return self._prefetcher.get_next()
+        return self._next_batch_sync()
+
+    def stop(self):
+        if self._prefetcher is not None:
+            self._prefetcher.stop()

@@ -1,0 +1,149 @@
+"""Adaptive inference + detection evaluation.
+
+Counterpart of /root/reference/yolov3/val_adaptiveisp.py:104-460: run the
+agent-in-the-loop 5-step ISP on each val image, a frozen YOLOv3 forward, NMS,
+IoU matching at 10 thresholds, and ap_per_class — with the reference's
+artifacts (records.txt filter-sequence log, per-step images, per-image param
+JSON) and the 3-bucket speed report.
+
+Eval protocol defaults mirror the reference exactly: imgsz 512, batch 1,
+steps 5, conf 0.001, IoU 0.6, max_det 300, multi-label NMS
+(val_adaptiveisp.py:110-112, 466-470).
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaptiveisp_tpu.data.datasets import ISPDataset, collate
+from adaptiveisp_tpu.detect.boxes import scale_boxes, xywh2xyxy
+from adaptiveisp_tpu.detect.metrics import process_batch, summarize
+from adaptiveisp_tpu.detect.model import decode_predictions
+from adaptiveisp_tpu.detect.nms import non_max_suppression
+from adaptiveisp_tpu.eval.rollout import jit_rollout, no_pipeline
+from adaptiveisp_tpu.obs.logging import save_img
+from adaptiveisp_tpu.obs.profile import Profile, speed_report
+from adaptiveisp_tpu.ops.bank import short_names
+from adaptiveisp_tpu.policy.states import get_initial_states, get_noise
+
+
+def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
+                   dataset: ISPDataset, steps: int = 5,
+                   conf_thres: float = 0.001, iou_thres: float = 0.6,
+                   max_det: int = 300, batch_size: int = 1,
+                   pipeline: Optional[Sequence[int]] = None,
+                   save_dir: Optional[str] = None,
+                   save_image: bool = False, save_param: bool = False,
+                   noise_seed: int = 0, max_images: int = -1,
+                   render: str = "blend", yolo_spec=None) -> Dict:
+    """Returns {'precision', 'recall', 'map50', 'map', 'speed', 'records'}."""
+    iouv = np.linspace(0.5, 0.95, 10)
+    names = short_names(cfg)
+    rng = np.random.RandomState(noise_seed)
+
+    roll = jit_rollout(agent, steps=steps, record_steps=save_image,
+                       render=render)
+    fwd = jax.jit(lambda v, x: decode_predictions(
+        yolo.apply(v, x, train=False), yolo_spec))
+
+    pipe_arr = (no_pipeline(steps) if pipeline is None
+                else jnp.asarray([(-1 if p is None else int(p))
+                                  for p in pipeline], jnp.int32))
+
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        if save_image:
+            for i in range(steps):
+                os.makedirs(os.path.join(save_dir, "img_results",
+                                         f"step-{i}"), exist_ok=True)
+        if save_param:
+            os.makedirs(os.path.join(save_dir, "param_results"),
+                        exist_ok=True)
+
+    profiles = {"pre": Profile(), "inference": Profile(sync=True),
+                "nms": Profile(sync=True)}
+    stats = []
+    records = []
+    n_total = len(dataset) if max_images < 0 else min(max_images, len(dataset))
+
+    for start in range(0, n_total, batch_size):
+        idx = list(range(start, min(start + batch_size, n_total)))
+        with profiles["pre"]:
+            batch = collate([dataset[i] for i in idx])
+            im = jnp.asarray(batch["im"])
+            nb = im.shape[0]
+            noises = jnp.asarray(np.stack([
+                get_noise(rng, nb, cfg.z_dim, cfg.z_type)
+                for _ in range(steps)]))
+            states = jnp.asarray(get_initial_states(nb, cfg.num_state_dim))
+
+        with profiles["inference"]:
+            res = roll(agent_variables, im, noises, states, pipe_arr)
+            preds = fwd(yolo_variables, res.image)
+
+        with profiles["nms"]:
+            dets, nvalid = non_max_suppression(
+                preds, conf_thres=conf_thres, iou_thres=iou_thres,
+                max_det=max_det, multi_label=True)
+            dets = np.asarray(jax.device_get(dets))
+            nvalid = np.asarray(jax.device_get(nvalid))
+
+        sels = np.asarray(res.selected)  # [steps, nb]
+        for bi in range(nb):
+            path = batch["path"][bi]
+            (h0, w0), ((rh, rw), pad) = batch["shape"][bi]
+            seq = [int(sels[s, bi]) for s in range(steps)]
+            records.append((os.path.split(path)[1], seq))
+
+            if save_dir and save_image:
+                for s in range(steps):
+                    save_img(np.asarray(res.images_per_step[s][bi]),
+                             os.path.join(save_dir, "img_results",
+                                          f"step-{s}",
+                                          os.path.split(path)[1] + ".png"))
+            if save_dir and save_param and bi == 0:
+                param_doc = collections.OrderedDict()
+                param_doc["pipeline"] = [s for s in seq if s >= 0]
+                with open(os.path.join(
+                        save_dir, "param_results",
+                        os.path.splitext(os.path.split(path)[1])[0]
+                        + ".json"), "w") as f:
+                    json.dump(param_doc, f, indent=4)
+
+            det = dets[bi][:int(nvalid[bi])].copy()
+            labels = batch["label"][bi]  # [n, 6] (idx, cls, xywhn)
+            h, w = im.shape[1], im.shape[2]
+            lab = labels[:, 1:].copy()
+            if lab.size:
+                lab[:, 1:5] = np.asarray(
+                    xywh2xyxy(jnp.asarray(lab[:, 1:5]
+                                          * np.array([w, h, w, h],
+                                                     np.float32))))
+            if det.shape[0]:
+                det[:, :4] = scale_boxes((h, w), det[:, :4], (h0, w0),
+                                         ((rh, rw), pad))
+            if lab.size:
+                lab_px = lab.copy()
+                lab_px[:, 1:5] = scale_boxes((h, w), lab[:, 1:5], (h0, w0),
+                                             ((rh, rw), pad))
+            else:
+                lab_px = np.zeros((0, 5), np.float32)
+            correct = process_batch(det, lab_px, iouv)
+            stats.append((correct, det[:, 4], det[:, 5], lab_px[:, 0]))
+
+    result = summarize(stats)
+    result["speed"] = speed_report(profiles, n_total)
+    result["records"] = records
+    if save_dir:
+        with open(os.path.join(save_dir, "records.txt"), "w") as f:
+            f.write(",".join(names) + "\n")
+            for fname, seq in records:
+                f.write(fname + "," + ",".join(str(s) for s in seq) + "\n")
+    return result

@@ -102,14 +102,16 @@ class Agent(nn.Module):
 
         random_filter_id = pdf_sample(pdf, selection_noise)
         max_filter_id = jnp.argmax(pdf, axis=1).astype(jnp.int32)
-        forced = selected_filter_id is not None
-        if forced:
-            sel = jnp.broadcast_to(
-                jnp.asarray(selected_filter_id, jnp.int32), max_filter_id.shape)
-        elif train:
-            sel = random_filter_id
+        default_sel = random_filter_id if train else max_filter_id
+        if selected_filter_id is not None:
+            # Forced action (reference --pipeline, val_adaptiveisp.py:292).
+            # May be a traced scalar; -1 means "no forcing" so fully-jitted
+            # rollouts can mix forced and free steps without branch dup.
+            forced = jnp.asarray(selected_filter_id, jnp.int32)
+            forced = jnp.broadcast_to(forced, max_filter_id.shape)
+            sel = jnp.where(forced >= 0, forced, default_sel)
         else:
-            sel = max_filter_id
+            sel = default_sel
         sel = sel.astype(jnp.int32)
 
         onehot = jax.nn.one_hot(sel, n_filters, dtype=pdf.dtype)

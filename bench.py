@@ -1,0 +1,120 @@
+"""Benchmark harness: fused ISP render throughput on the TPU chip.
+
+Measures BASELINE.md config 1 — the fixed 5-stage render
+(exposure -> WB -> CCM -> gamma -> sharpen) — as MPix/s on one chip, and the
+same pipeline in torch on CPU as the reference-equivalent baseline (the
+reference implements these stages as sequential torch ops on CPU/GPU,
+/root/reference/isp/filters.py; torch-CPU is the BASELINE.json comparison
+point "Single LOD RAW image, fixed 5-stage render ... on CPU").
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Extra diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_tpu_render(batch=8, size=512, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from adaptiveisp_tpu.config import Config
+    from adaptiveisp_tpu.ops import bank
+
+    cfg = Config()
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
+    stages_params = {
+        "exposure": jnp.asarray([[1.2]], jnp.float32),
+        "improved_wb": jnp.asarray([[2.40, 1.22, 1.88]], jnp.float32),
+        "ccm": jnp.asarray(
+            (np.eye(3, dtype=np.float32) * 1.2).reshape(1, 9)),
+        "gamma": jnp.asarray([[0.45]], jnp.float32),
+        "sharpen": jnp.asarray([[3.0]], jnp.float32),
+    }
+    stages = list(stages_params.items())
+
+    @jax.jit
+    def render(x):
+        return bank.render_pipeline(cfg, x, stages)
+
+    render(img).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = render(img)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    mpix = batch * size * size * iters / dt / 1e6
+    log(f"TPU render: {mpix:.1f} MPix/s ({dt / iters * 1e3:.2f} ms/iter, "
+        f"batch {batch} @ {size}px, device {jax.devices()[0]})")
+    return mpix
+
+
+def bench_cpu_reference_proxy(size=512, iters=3):
+    """The same 5-stage math as sequential torch CPU ops (the reference's
+    execution model: one elementwise torch op chain per filter)."""
+    import torch
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    img = torch.rand(1, 3, size, size)
+
+    def lum(x):
+        return (0.27 * x[:, 0] + 0.67 * x[:, 1] + 0.06 * x[:, 2])[:, None]
+
+    kernel = torch.ones(3, 3)
+    kernel[1, 1] = 5.0
+    kernel /= kernel.sum()
+    kernel = kernel.expand(3, 1, 3, 3)
+
+    def render(x):
+        # exposure
+        x = torch.clip(x * float(np.exp(1.2 * np.log(2))), 0, 1)
+        # white balance
+        wb = torch.tensor([2.40, 1.22, 1.88])
+        scale = wb / (1e-5 + 0.27 * wb[0] + 0.67 * wb[1] + 0.06 * wb[2])
+        x = torch.clip(x * scale[None, :, None, None], 0, 1)
+        # ccm (identity-normalised)
+        ccm = torch.eye(3)
+        x = torch.einsum("nchw,kc->nkhw", x, ccm).clip(0, 1)
+        # gamma
+        x = torch.clip(torch.clip(x, 0.001).pow(0.45), 0, 1)
+        # sharpen (valid conv + border keep)
+        blurred = torch.nn.functional.conv2d(x, kernel, groups=3)
+        blurred = torch.nn.functional.pad(blurred, (1, 1, 1, 1))
+        f = 3.0
+        inner = torch.clip(x * f + blurred * (1 - f), 0, 1)
+        x = torch.cat([x[:, :, :1], inner[:, :, 1:-1], x[:, :, -1:]], dim=2)
+        return x
+
+    render(img)  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        render(img)
+    dt = time.perf_counter() - t0
+    mpix = size * size * iters / dt / 1e6
+    log(f"CPU torch baseline proxy: {mpix:.1f} MPix/s")
+    return mpix
+
+
+def main():
+    tpu = bench_tpu_render()
+    cpu = bench_cpu_reference_proxy()
+    print(json.dumps({
+        "metric": "fused_isp_render_throughput",
+        "value": round(tpu, 2),
+        "unit": "MPix/s/chip",
+        "vs_baseline": round(tpu / cpu, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Tests for the dataset layer, replay memory, and trainer smoke run."""
+
+import os
+
+import numpy as np
+import pytest
+
+from adaptiveisp_tpu.config import Config, TrainConfig
+from adaptiveisp_tpu.data.datasets import BatchFeeder, ISPDataset, collate
+from adaptiveisp_tpu.data.letterbox import letterbox, restore_image
+from adaptiveisp_tpu.data.replay import ReplayMemory
+from adaptiveisp_tpu.policy.states import STATE_STEP_DIM, STATE_STOPPED_DIM
+
+CFG = Config(replay_memory_size=8)
+RNG = np.random.RandomState(21)
+
+
+@pytest.fixture(scope="module")
+def toy_dataset_dir(tmp_path_factory):
+    """8 images + labels in the images/-labels/ layout."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("lod")
+    img_dir = root / "images"
+    lab_dir = root / "labels"
+    img_dir.mkdir()
+    lab_dir.mkdir()
+    for i in range(8):
+        arr = (RNG.rand(40 + i, 60, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{i}.png")
+        with open(lab_dir / f"{i}.txt", "w") as f:
+            f.write("3 0.5 0.5 0.25 0.25\n")
+            if i % 2:
+                f.write("7 0.3 0.3 0.1 0.1\n")
+    return str(img_dir)
+
+
+def test_letterbox_parity_arithmetic():
+    im = RNG.rand(40, 60, 3).astype(np.float32)
+    out, ratio, (dw, dh) = letterbox(im, 64, color=(0, 0, 0), auto=False)
+    assert out.shape == (64, 64, 3)
+    # 60 -> 64 wide: r = 64/60; height 40*64/60 ~= 42.7 -> 43, pad 21/2
+    assert abs(ratio[0] - 64 / 60) < 1e-6
+    # padded rows are the fill colour
+    assert out[0].max() == 0.0 and out[-1].max() == 0.0
+    # restore round-trip
+    back = restore_image(out, 40, 60)
+    assert back.shape == (40, 60, 3)
+
+
+def test_dataset_normalize(toy_dataset_dir):
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                    train=False, cache_labels=False)
+    assert len(ds) == 8
+    rec = ds[0]
+    assert rec["im"].shape == (64, 64, 3)
+    assert rec["im"].min() >= 0 and rec["im"].max() <= 1
+    assert rec["label"].shape[1] == 6
+    assert rec["label"][0, 1] == 3  # class preserved
+    (h0, w0), ((rh, rw), pad) = rec["shape"]
+    assert (h0, w0) == (40, 60)
+
+
+def test_dataset_raw_val_deterministic(toy_dataset_dir):
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="raw", train=False,
+                    cache_labels=False)
+    a = ds[2]["im"]
+    b = ds[2]["im"]
+    np.testing.assert_array_equal(a, b)  # per-filename seed -> deterministic
+    # raw synthesis darkens
+    ds_n = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                      train=False, cache_labels=False)
+    assert a.mean() < ds_n[2]["im"].mean()
+
+
+def test_dataset_high_res(toy_dataset_dir):
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                    high_res=True, train=False, cache_labels=False)
+    rec = ds[1]
+    assert "im_hr" in rec
+    assert rec["im_hr"].shape[0] != 64 or rec["im_hr"].shape[1] != 64
+
+
+def test_batch_feeder_recycles(toy_dataset_dir):
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                    cache_labels=False)
+    feeder = BatchFeeder(ds, batch_size=6, prefetch=False, seed=0)
+    seen = []
+    for _ in range(3):  # 18 draws from 8 images -> recycling
+        b = feeder.next_batch()
+        assert b["im"].shape == (6, 64, 64, 3)
+        seen += b["path"]
+    assert len(set(seen)) == 8
+
+
+def test_replay_memory_cycle(toy_dataset_dir):
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                    cache_labels=False)
+    mem = ReplayMemory(CFG, ds, batch_size=4, feeder_batch=4,
+                       prefetch=False, seed=0)
+    assert mem.stats()["size"] == 8
+
+    feed = mem.get_feed_dict_and_states(4)
+    assert feed["im"].shape == (4, 64, 64, 3)
+    assert feed["state"].shape == (4, CFG.num_state_dim)
+    assert feed["z"].shape == (4, CFG.z_dim)
+    assert (feed["z"] >= 0).all() and (feed["z"] <= 1).all()
+
+    # simulate one agent application: step++, mark stopped for 2 records
+    new_states = feed["state"].copy()
+    new_states[:, STATE_STEP_DIM] += 1
+    new_states[:2, STATE_STOPPED_DIM] = 1
+    mem.replace_memory(list(feed["im"]), feed["label"], feed["path"],
+                       feed["shape"], list(new_states))
+    assert mem.stats()["size"] == 8
+    # stopped records are never handed out again
+    for _ in range(4):
+        f = mem.get_feed_dict_and_states(4)
+        assert (f["state"][:, STATE_STOPPED_DIM] != 1).all()
+    mem.stop()
+
+
+def test_replay_drops_overlong_trajectories(toy_dataset_dir):
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                    cache_labels=False)
+    cfg = CFG.replace(over_length_keep_prob=0.0)
+    mem = ReplayMemory(cfg, ds, batch_size=4, feeder_batch=4,
+                       prefetch=False, seed=0)
+    feed = mem.get_feed_dict_and_states(4)
+    ns = feed["state"].copy()
+    ns[:, STATE_STEP_DIM] = cfg.maximum_trajectory_length + 1
+    mem.replace_memory(list(feed["im"]), feed["label"], feed["path"],
+                       feed["shape"], list(ns))
+    # all overlong records dropped; pool refilled with fresh (step 0)
+    assert mem.stats()["avg_trajectory"] == 0.0
+    mem.stop()

@@ -1,0 +1,105 @@
+"""End-to-end smoke: Trainer loop and validator on a toy dataset (CPU)."""
+
+import numpy as np
+import jax
+import pytest
+
+from adaptiveisp_tpu.config import Config, TrainConfig
+from adaptiveisp_tpu.data.datasets import ISPDataset
+from adaptiveisp_tpu.detect.model import create_detector
+from adaptiveisp_tpu.eval.validator import run_validation
+from adaptiveisp_tpu.train.trainer import Trainer
+
+CFG = Config(replay_memory_size=8, val_freq=10 ** 9, save_model_freq=2,
+             print_freq=1, summary_freq=1)
+RNG = np.random.RandomState(33)
+
+MINI_SPEC = {
+    "nc": 8,
+    "anchors": [[10, 14, 23, 27, 37, 58], [81, 82, 135, 169, 344, 319]],
+    "backbone": [
+        [-1, 1, "Conv", [8, 3, 2]],
+        [-1, 1, "Conv", [16, 3, 2]],
+        [-1, 1, "Conv", [16, 3, 2]],
+        [-1, 1, "Bottleneck", [16]],
+        [-1, 1, "Conv", [32, 3, 2]],
+    ],
+    "head": [
+        [-1, 1, "Conv", [32, 3, 2]],
+        [[4, 5], 1, "Detect", ["nc", "anchors"]],
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def toy_dataset_dir(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("lodtrain")
+    img_dir = root / "images"
+    lab_dir = root / "labels"
+    img_dir.mkdir()
+    lab_dir.mkdir()
+    for i in range(10):
+        arr = (RNG.rand(64, 64, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{i}.png")
+        with open(lab_dir / f"{i}.txt", "w") as f:
+            f.write("3 0.5 0.5 0.25 0.25\n")
+    return str(img_dir)
+
+
+def test_trainer_two_steps(toy_dataset_dir, tmp_path):
+    tcfg = TrainConfig(batch_size=2, epochs=1, imgsz=64, data_name="lod")
+    tr = Trainer(CFG, tcfg, toy_dataset_dir, val_path=None,
+                 save_dir=str(tmp_path / "exp"), yolo_spec=MINI_SPEC,
+                 t_max=8, log=False)
+    state = tr.train(max_steps=2)
+    assert int(jax.device_get(state.step)) == 3  # 0..2 inclusive
+    # replay pool stayed full and finite
+    stats = tr.replay.stats()
+    assert stats["size"] == CFG.replay_memory_size
+    # checkpoint written at save_model_freq=2
+    from adaptiveisp_tpu.train import checkpoint as ckpt_lib
+    assert ckpt_lib.latest_step(tr.ckpt_dir) == 2
+    # resume restores full state incl. optimizer
+    restored = ckpt_lib.restore(tr.ckpt_dir, jax.device_get(state))
+    assert int(restored.step) == int(jax.device_get(state.step))
+    tr.close()
+
+
+def test_validator_on_toy_data(toy_dataset_dir, tmp_path):
+    from adaptiveisp_tpu.policy.agent import create_agent_state
+
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                    train=False, cache_labels=False)
+    agent, agent_vars = create_agent_state(
+        CFG, jax.random.PRNGKey(0), image_size=64, batch=1)
+    yolo, yolo_vars = create_detector(
+        jax.random.PRNGKey(1), spec=MINI_SPEC, imgsz=64)
+
+    res = run_validation(
+        CFG, agent, agent_vars, yolo, yolo_vars,
+        dataset=ds, steps=3, batch_size=2, max_images=4,
+        save_dir=str(tmp_path / "val"), save_image=True, save_param=True,
+        yolo_spec=MINI_SPEC)
+    assert "map50" in res and 0.0 <= res["map50"] <= 1.0
+    assert len(res["records"]) == 4
+    assert (tmp_path / "val" / "records.txt").exists()
+    assert (tmp_path / "val" / "img_results" / "step-0").exists()
+
+
+def test_validator_forced_pipeline(toy_dataset_dir, tmp_path):
+    from adaptiveisp_tpu.policy.agent import create_agent_state
+
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                    train=False, cache_labels=False)
+    agent, agent_vars = create_agent_state(
+        CFG, jax.random.PRNGKey(0), image_size=64, batch=1)
+    yolo, yolo_vars = create_detector(
+        jax.random.PRNGKey(1), spec=MINI_SPEC, imgsz=64)
+    res = run_validation(
+        CFG, agent, agent_vars, yolo, yolo_vars, ds,
+        steps=2, batch_size=1, max_images=2, pipeline=[0, 9],
+        yolo_spec=MINI_SPEC)
+    for fname, seq in res["records"]:
+        assert seq == [0, 9]
