@@ -111,6 +111,9 @@ class Config:
     z_dim_per_filter: int = 16
     test_steps: int = 5
 
+    # TPU execution knobs (no reference counterpart)
+    use_pallas: bool = True  # fused Pallas kernels for hot ops (NLM)
+
     # Training-schedule field mutated at runtime by the reference trainer
     # (train.py:156); here it is part of TrainConfig instead.
 

@@ -64,6 +64,20 @@ def nlm_gray(rgb, h, search_window_size: int = 11, patch_size: int = 5):
     return jnp.clip(denoised / weights, 0.0, 1.0)
 
 
+def nlm_gray_dispatch(rgb, h, use_pallas: bool = True):
+    """Pick the Pallas single-pass kernel on TPU when the shape qualifies
+    (lane dim multiple of 128, sublane-tileable height), else the XLA path."""
+    import jax
+
+    n, height, width, _ = rgb.shape
+    if (use_pallas and jax.default_backend() == "tpu"
+            and width % 128 == 0 and height % 8 == 0):
+        from adaptiveisp_tpu.ops.pallas.nlm import nlm_gray_pallas
+
+        return nlm_gray_pallas(rgb, h)
+    return nlm_gray(rgb, h)
+
+
 def nlm_rgb(rgb, h, search_window_size: int = 21, patch_size: int = 7):
     """RGB-distance non-local means (reference NonLocalMeans, :68-90)."""
     r = search_window_size // 2

@@ -179,7 +179,8 @@ def squash_denoise(cfg, feat):
 
 def apply_denoise(cfg, img, param):
     img = jnp.clip(img, 0.0, 1.0)
-    return _denoise.nlm_gray(img, param, search_window_size=11, patch_size=5)
+    use_pallas = getattr(cfg, "use_pallas", True)
+    return _denoise.nlm_gray_dispatch(img, param, use_pallas=use_pallas)
 
 
 # --------------------------------------------------------------------------- #

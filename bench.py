@@ -23,7 +23,30 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu_render(batch=8, size=512, iters=20):
+def timed_chain(step_fn, x0, iters):
+    """Dependency-chained on-device timing: x_{k+1} = step(x_k) inside one
+    fori_loop, final scalar fetched — immune to async-dispatch timing
+    artifacts (block_until_ready does not reliably block through the
+    tunneled device)."""
+    import jax
+
+    def run_n(n):
+        @jax.jit
+        def run(x):
+            return jax.lax.fori_loop(0, n, lambda i, x: step_fn(x), x).mean()
+
+        float(run(x0))  # compile + warm
+        t0 = time.perf_counter()
+        float(run(x0))
+        return time.perf_counter() - t0
+
+    # marginal time removes the constant dispatch/fetch overhead
+    short, long = max(1, iters // 4), iters
+    t_short, t_long = run_n(short), run_n(long)
+    return (t_long - t_short) / (long - short)
+
+
+def bench_tpu_render(batch=8, size=512, iters=12):
     import jax
     import jax.numpy as jnp
 
@@ -43,20 +66,30 @@ def bench_tpu_render(batch=8, size=512, iters=20):
     }
     stages = list(stages_params.items())
 
-    @jax.jit
-    def render(x):
-        return bank.render_pipeline(cfg, x, stages)
-
-    render(img).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = render(img)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    mpix = batch * size * size * iters / dt / 1e6
-    log(f"TPU render: {mpix:.1f} MPix/s ({dt / iters * 1e3:.2f} ms/iter, "
+    dt = timed_chain(lambda x: bank.render_pipeline(cfg, x, stages),
+                     img, iters)
+    mpix = batch * size * size / dt / 1e6
+    log(f"TPU 5-stage render: {mpix:.1f} MPix/s ({dt * 1e3:.3f} ms/iter, "
         f"batch {batch} @ {size}px, device {jax.devices()[0]})")
     return mpix
+
+
+def bench_nlm(batch=4, size=512, iters=4):
+    """Secondary metric: the NLM hot kernel, Pallas vs XLA (stderr only)."""
+    import jax.numpy as jnp
+
+    from adaptiveisp_tpu.ops.denoise import nlm_gray
+    from adaptiveisp_tpu.ops.pallas.nlm import nlm_gray_pallas
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
+    h = jnp.asarray(np.full((batch, 1), 0.4, np.float32))
+    t_pallas = timed_chain(lambda x: nlm_gray_pallas(x, h), img, iters)
+    t_xla = timed_chain(lambda x: nlm_gray(x, h), img, iters)
+    log(f"NLM denoise: pallas {t_pallas * 1e3:.2f} ms  "
+        f"xla {t_xla * 1e3:.2f} ms  speedup {t_xla / t_pallas:.2f}x  "
+        f"({batch * size * size / t_pallas / 1e6:.0f} MPix/s pallas)")
+    return t_pallas, t_xla
 
 
 def bench_cpu_reference_proxy(size=512, iters=3):
@@ -107,6 +140,10 @@ def bench_cpu_reference_proxy(size=512, iters=3):
 
 def main():
     tpu = bench_tpu_render()
+    try:
+        bench_nlm()
+    except Exception as e:  # secondary metric must not break the bench line
+        log(f"NLM bench skipped: {e}")
     cpu = bench_cpu_reference_proxy()
     print(json.dumps({
         "metric": "fused_isp_render_throughput",

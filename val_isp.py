@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Adaptive inference + mAP evaluation CLI.
+
+The reference `python yolov3/val_adaptiveisp.py` equivalent
+(/root/reference/yolov3/val_adaptiveisp.py:463-515 argparse surface): run the
+agent-in-the-loop ISP on the val set, frozen YOLOv3, NMS, and report
+P/R/mAP50/mAP plus the per-image pipeline records.
+"""
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", type=str, default="lod",
+                   help="dataset yaml / builtin name")
+    p.add_argument("--weights", type=str, default="pretrained/yolov3.pt")
+    p.add_argument("--isp_weights", type=str, default=None,
+                   help="agent checkpoint (orbax dir or weights .pkl)")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--imgsz", type=int, default=512)
+    p.add_argument("--conf_thres", type=float, default=0.001)
+    p.add_argument("--iou_thres", type=float, default=0.6)
+    p.add_argument("--max_det", type=int, default=300)
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--pipeline", type=int, nargs="*", default=None,
+                   help="fixed filter-id sequence overriding the agent")
+    p.add_argument("--save_image", action="store_true")
+    p.add_argument("--save_param", action="store_true")
+    p.add_argument("--max_images", type=int, default=-1)
+    p.add_argument("--project", type=str, default="runs/val-adaptiveisp")
+    p.add_argument("--name", type=str, default="exp")
+    p.add_argument("--cfg", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from train_isp import load_cfg, load_yolo_variables
+
+    import jax
+
+    from adaptiveisp_tpu.config import TrainConfig
+    from adaptiveisp_tpu.data.dataset_config import check_dataset
+    from adaptiveisp_tpu.data.datasets import ISPDataset
+    from adaptiveisp_tpu.detect.model import create_detector
+    from adaptiveisp_tpu.eval.validator import run_validation
+    from adaptiveisp_tpu.policy.agent import create_agent_state
+    from adaptiveisp_tpu.train import checkpoint as ckpt_lib
+
+    cfg = load_cfg(args.cfg)
+    data = check_dataset(args.data)
+    ds = ISPDataset(data["val"], img_size=args.imgsz,
+                    source=data.get("source", "normalize"), train=False)
+
+    agent, agent_vars = create_agent_state(
+        cfg, jax.random.PRNGKey(0), image_size=args.imgsz, batch=1)
+    if args.isp_weights:
+        payload = ckpt_lib.load_weights_only(args.isp_weights)
+        agent_vars = payload["agent_model"]
+
+    yolo, yolo_vars = create_detector(jax.random.PRNGKey(1), imgsz=256)
+    loaded = load_yolo_variables(args.weights)
+    if loaded is not None:
+        yolo_vars = loaded
+
+    save_dir = os.path.join(args.project, args.name)
+    res = run_validation(
+        cfg, agent, agent_vars, yolo, yolo_vars, ds,
+        steps=args.steps, conf_thres=args.conf_thres,
+        iou_thres=args.iou_thres, max_det=args.max_det,
+        batch_size=args.batch_size, pipeline=args.pipeline,
+        save_dir=save_dir, save_image=args.save_image,
+        save_param=args.save_param, max_images=args.max_images)
+    print(f"{'Class':>22s}{'P':>11s}{'R':>11s}{'mAP50':>11s}{'mAP50-95':>11s}")
+    print(f"{'all':>22s}{res['precision']:11.3g}{res['recall']:11.3g}"
+          f"{res['map50']:11.3g}{res['map']:11.3g}")
+    print(res["speed"])
+    return res
+
+
+if __name__ == "__main__":
+    main()
