@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from adaptiveisp_tpu.ops.math import (
@@ -226,7 +227,8 @@ def color_correction_matrix(img, ccm):
 
     Matches reference filters.py:666-672 (sum over the last ccm axis).
     """
-    return jnp.einsum("nhwc,nkc->nhwk", img, ccm)
+    return jnp.einsum("nhwc,nkc->nhwk", img, ccm,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def apply_ccm(cfg, img, param):

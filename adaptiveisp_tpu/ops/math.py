@@ -131,4 +131,5 @@ def depthwise_conv3x3(img, kernel, padding="VALID"):
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )

@@ -73,7 +73,8 @@ def gaussian_blur(img, kernel_size: int, sigma):
         k2[:, :, None, None], (kernel_size, kernel_size, 1, c)).astype(img.dtype)
     return jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def unsharp_mask(img, sigma, amount, kernel_size: int = 5, clip: bool = True):

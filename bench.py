@@ -46,7 +46,7 @@ def timed_chain(step_fn, x0, iters):
     return (t_long - t_short) / (long - short)
 
 
-def bench_tpu_render(batch=8, size=512, iters=12):
+def bench_tpu_render(batch=8, size=512, iters=64):
     import jax
     import jax.numpy as jnp
 
@@ -74,7 +74,7 @@ def bench_tpu_render(batch=8, size=512, iters=12):
     return mpix
 
 
-def bench_nlm(batch=4, size=512, iters=4):
+def bench_nlm(batch=4, size=512, iters=8):
     """Secondary metric: the NLM hot kernel, Pallas vs XLA (stderr only)."""
     import jax.numpy as jnp
 
