@@ -14,10 +14,20 @@ import numpy as np
 
 
 def resize_bilinear(im: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """cv2.resize(INTER_LINEAR)-compatible bilinear resize, HWC float."""
+    """cv2.resize(INTER_LINEAR)-compatible bilinear resize, HWC float.
+
+    Dispatches to the native C++ library (csrc/preprocess.cpp) when built;
+    the NumPy path below is the reference implementation and fallback.
+    """
     h, w = im.shape[:2]
     if (h, w) == (out_h, out_w):
         return im
+    if im.ndim == 3:
+        from adaptiveisp_tpu.data.native import resize_bilinear_native
+
+        out = resize_bilinear_native(im, out_h, out_w)
+        if out is not None:
+            return out
     # half-pixel centers (cv2 convention)
     ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
     xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Streaming detection CLI — the reference `python yolov3/detect.py` analog
+(/root/reference/yolov3/detect.py): run (optionally adaptive-ISP-processed)
+detection over a folder/list of images, printing and saving results.
+"""
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--source", type=str, required=True,
+                   help="image file, folder, or .txt list")
+    p.add_argument("--weights", type=str, default="pretrained/yolov3.pt")
+    p.add_argument("--isp_weights", type=str, default=None,
+                   help="run adaptive ISP preprocessing with this agent ckpt")
+    p.add_argument("--isp_steps", type=int, default=5)
+    p.add_argument("--imgsz", type=int, default=512)
+    p.add_argument("--conf_thres", type=float, default=0.25)
+    p.add_argument("--iou_thres", type=float, default=0.45)
+    p.add_argument("--max_det", type=int, default=300)
+    p.add_argument("--save_dir", type=str, default="runs/detect")
+    p.add_argument("--save_txt", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from train_isp import load_yolo_variables
+    from adaptiveisp_tpu.config import Config
+    from adaptiveisp_tpu.data.dataset_config import COCO_NAMES
+    from adaptiveisp_tpu.data.datasets import load_image_file
+    from adaptiveisp_tpu.data.labels import parse_image_list
+    from adaptiveisp_tpu.data.letterbox import letterbox
+    from adaptiveisp_tpu.detect.boxes import scale_boxes
+    from adaptiveisp_tpu.detect.model import create_detector, decode_predictions
+    from adaptiveisp_tpu.detect.nms import non_max_suppression
+
+    cfg = Config()
+    yolo, yolo_vars = create_detector(jax.random.PRNGKey(0), imgsz=256)
+    loaded = load_yolo_variables(args.weights)
+    if loaded is not None:
+        yolo_vars = loaded
+
+    isp = None
+    if args.isp_weights:
+        from adaptiveisp_tpu.eval.rollout import jit_rollout, no_pipeline
+        from adaptiveisp_tpu.policy.agent import create_agent_state
+        from adaptiveisp_tpu.policy.states import (get_initial_states,
+                                                   get_noise)
+        from adaptiveisp_tpu.train import checkpoint as ckpt_lib
+
+        agent, agent_vars = create_agent_state(
+            cfg, jax.random.PRNGKey(0), image_size=args.imgsz, batch=1)
+        agent_vars = ckpt_lib.load_weights_only(
+            args.isp_weights)["agent_model"]
+        roll = jit_rollout(agent, steps=args.isp_steps)
+        rng = np.random.RandomState(0)
+
+        def isp(img):
+            noises = jnp.asarray(np.stack(
+                [get_noise(rng, 1, cfg.z_dim) for _ in range(args.isp_steps)]))
+            states = jnp.asarray(get_initial_states(1, cfg.num_state_dim))
+            return roll(agent_vars, img, noises, states,
+                        no_pipeline(args.isp_steps)).image
+
+    fwd = jax.jit(lambda v, x: decode_predictions(
+        yolo.apply(v, x, train=False)))
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    for path in parse_image_list(args.source):
+        raw = load_image_file(path)
+        h0, w0 = raw.shape[:2]
+        img, ratio, pad = letterbox(raw, args.imgsz, color=(0, 0, 0),
+                                    auto=False)
+        x = jnp.asarray(img[None])
+        if isp is not None:
+            x = isp(x)
+        preds = fwd(yolo_vars, x)
+        dets, nvalid = non_max_suppression(
+            preds, conf_thres=args.conf_thres, iou_thres=args.iou_thres,
+            max_det=args.max_det, multi_label=False)
+        det = np.asarray(dets[0][:int(nvalid[0])])
+        if det.shape[0]:
+            det[:, :4] = scale_boxes((args.imgsz, args.imgsz), det[:, :4],
+                                     (h0, w0), (ratio, pad))
+        name = os.path.split(path)[1]
+        print(f"{name}: {det.shape[0]} detections")
+        for d in det:
+            cls = COCO_NAMES[int(d[5])] if int(d[5]) < len(COCO_NAMES) else d[5]
+            print(f"  {cls} {d[4]:.2f} [{d[0]:.0f},{d[1]:.0f},{d[2]:.0f},{d[3]:.0f}]")
+        if args.save_txt:
+            with open(os.path.join(
+                    args.save_dir, os.path.splitext(name)[0] + ".txt"),
+                    "w") as f:
+                for d in det:
+                    f.write(" ".join(f"{v:.5g}" for v in d) + "\n")
+
+
+if __name__ == "__main__":
+    main()
