@@ -160,8 +160,7 @@ def initialize_detect_biases(variables, spec=None, imgsz: int = 640,
     strides = model_strides(spec)
     nc = spec["nc"]
     params = variables["params"]
-    detect_name = [k for k in params if k.startswith("l")][-1]
-    # find Detect layer: the module named l<last>
+    # the Detect layer is the highest-numbered module (the spec's last row)
     names = sorted((k for k in params if k[1:].split("_")[0].isdigit()),
                    key=lambda k: int(k[1:].split("_")[0]))
     detect_name = names[-1]

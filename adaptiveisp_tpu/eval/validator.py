@@ -41,6 +41,7 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                    pipeline: Optional[Sequence[int]] = None,
                    save_dir: Optional[str] = None,
                    save_image: bool = False, save_param: bool = False,
+                   save_json: bool = False, anno_json: Optional[str] = None,
                    noise_seed: int = 0, max_images: int = -1,
                    render: str = "blend", yolo_spec=None) -> Dict:
     """Returns {'precision', 'recall', 'map50', 'map', 'speed', 'records'}."""
@@ -71,6 +72,7 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                 "nms": Profile(sync=True)}
     stats = []
     records = []
+    coco_records = []
     n_total = len(dataset) if max_images < 0 else min(max_images, len(dataset))
 
     for start in range(0, n_total, batch_size):
@@ -137,6 +139,12 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                 lab_px = np.zeros((0, 5), np.float32)
             correct = process_batch(det, lab_px, iouv)
             stats.append((correct, det[:, 4], det[:, 5], lab_px[:, 0]))
+            if save_json:
+                from adaptiveisp_tpu.eval.coco_json import (
+                    COCO80_TO_91, detections_to_coco)
+
+                coco_records += detections_to_coco(
+                    path, det, class_map=COCO80_TO_91)
 
     result = summarize(stats)
     result["speed"] = speed_report(profiles, n_total)
@@ -146,4 +154,14 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
             f.write(",".join(names) + "\n")
             for fname, seq in records:
                 f.write(fname + "," + ",".join(str(s) for s in seq) + "\n")
+        if save_json:
+            from adaptiveisp_tpu.eval.coco_json import (
+                pycocotools_eval, save_predictions)
+
+            pred_json = save_predictions(coco_records, save_dir)
+            if anno_json:
+                rescored = pycocotools_eval(pred_json, anno_json)
+                if rescored:
+                    result["coco_map"] = rescored["map"]
+                    result["coco_map50"] = rescored["map50"]
     return result

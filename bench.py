@@ -138,12 +138,75 @@ def bench_cpu_reference_proxy(size=512, iters=3):
     return mpix
 
 
+def bench_train_step(batch=8, imgsz=512):
+    """RL train step throughput (BASELINE config 4).  Opt-in via --full:
+    the full-YOLOv3 train graph takes ~5 min to compile through the
+    tunneled remote-compile service.  Measured: ~113 ms/step (8.8 steps/s)
+    at batch 8 @ 512px on one v5e chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptiveisp_tpu.config import Config, TrainConfig
+    from adaptiveisp_tpu.detect.loss import LossHyp
+    from adaptiveisp_tpu.detect.model import (
+        anchors_in_grid_units, create_detector)
+    from adaptiveisp_tpu.policy.agent import create_agent_state
+    from adaptiveisp_tpu.policy.states import get_initial_states
+    from adaptiveisp_tpu.policy.value import create_value_state
+    from adaptiveisp_tpu.train.optim import make_optimizer
+    from adaptiveisp_tpu.train.step import init_train_state, make_train_step
+
+    cfg = Config()
+    tcfg = TrainConfig(batch_size=batch, epochs=1, imgsz=imgsz)
+    ka, kv, ky = jax.random.split(jax.random.PRNGKey(0), 3)
+    agent, agent_vars = create_agent_state(cfg, ka, image_size=imgsz, batch=1)
+    value, value_vars = create_value_state(cfg, kv, image_size=imgsz, batch=1)
+    yolo, yolo_vars = create_detector(ky, imgsz=256)
+    tx = make_optimizer(tcfg.lr, 1000)
+    step_fn = jax.jit(make_train_step(agent, value, yolo, cfg, tcfg,
+                                      anchors_in_grid_units(), LossHyp(),
+                                      tx, tx))
+    state = init_train_state(agent_vars, value_vars, tx, tx)
+    rng = np.random.RandomState(0)
+    targets = np.zeros((batch, 16, 5), np.float32)
+    targets[:, 0] = [2, 0.5, 0.5, 0.3, 0.4]
+    tmask = np.zeros((batch, 16), bool)
+    tmask[:, 0] = True
+    b = (jnp.asarray(rng.rand(batch, imgsz, imgsz, 3).astype(np.float32)),
+         jnp.asarray(rng.rand(batch, cfg.z_dim).astype(np.float32)),
+         jnp.asarray(get_initial_states(batch, cfg.num_state_dim)),
+         jnp.asarray(targets), jnp.asarray(tmask))
+
+    out = step_fn(state, yolo_vars, b, jax.random.PRNGKey(1), 0.0)
+    float(out.metrics["value_loss"])  # force compile+run
+
+    def chain(n):
+        cur = out
+        t0 = time.perf_counter()
+        for i in range(n):
+            cur = step_fn(cur.state, yolo_vars, b, jax.random.PRNGKey(i), 0.0)
+        float(cur.metrics["value_loss"])
+        return time.perf_counter() - t0
+
+    t2, t10 = chain(2), chain(10)
+    per = (t10 - t2) / 8
+    log(f"RL train step: {per * 1e3:.1f} ms/step -> {1 / per:.2f} steps/s "
+        f"(batch {batch} @ {imgsz}px, full YOLOv3 x2 fwd + bwd)")
+    return per
+
+
 def main():
+    full = "--full" in sys.argv
     tpu = bench_tpu_render()
     try:
         bench_nlm()
     except Exception as e:  # secondary metric must not break the bench line
         log(f"NLM bench skipped: {e}")
+    if full:
+        try:
+            bench_train_step()
+        except Exception as e:
+            log(f"train-step bench skipped: {e}")
     cpu = bench_cpu_reference_proxy()
     print(json.dumps({
         "metric": "fused_isp_render_throughput",
