@@ -182,10 +182,16 @@ class BatchFeeder:
 
     def __init__(self, dataset: ISPDataset, batch_size: int = 64,
                  shuffle: bool = True, prefetch: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, shard_rank: int = 0, shard_count: int = 1):
+        """shard_rank/shard_count give per-host data sharding — the
+        DistributedSampler analog (reference dataloader.py:78 etc.): each
+        host sees a disjoint strided slice of the epoch order, with a
+        shared shuffle seed so slices stay disjoint."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.shard_rank = shard_rank
+        self.shard_count = shard_count
         self.rng = np.random.RandomState(seed)
         self._order = self._new_order()
         self._cursor = 0
@@ -199,6 +205,8 @@ class BatchFeeder:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        if self.shard_count > 1:
+            order = order[self.shard_rank::self.shard_count]
         return order
 
     def _next_indices(self, n):

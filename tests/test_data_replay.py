@@ -134,3 +134,17 @@ def test_replay_drops_overlong_trajectories(toy_dataset_dir):
     # all overlong records dropped; pool refilled with fresh (step 0)
     assert mem.stats()["avg_trajectory"] == 0.0
     mem.stop()
+
+
+def test_batch_feeder_sharding(toy_dataset_dir):
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                    cache_labels=False)
+    f0 = BatchFeeder(ds, batch_size=4, prefetch=False, seed=0,
+                     shard_rank=0, shard_count=2)
+    f1 = BatchFeeder(ds, batch_size=4, prefetch=False, seed=0,
+                     shard_rank=1, shard_count=2)
+    seen0 = set(f0.next_batch()["path"])
+    seen1 = set(f1.next_batch()["path"])
+    # disjoint per-host slices of the same shuffled epoch
+    assert not (seen0 & seen1)
+    assert len(seen0 | seen1) == 8
