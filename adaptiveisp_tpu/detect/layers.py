@@ -7,6 +7,8 @@ BatchNorm matches torch defaults (eps 1e-5, momentum 0.1 -> flax momentum 0.9).
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -16,21 +18,26 @@ def autopad(k: int) -> int:
 
 
 class ConvBNAct(nn.Module):
-    """conv(bias=False) -> BN -> SiLU (reference common.py:45-59)."""
+    """conv(bias=False) -> BN -> SiLU (reference common.py:45-59).
+
+    `dtype` is the computation dtype: bfloat16 rides the MXU natively on TPU
+    (params stay float32); None keeps float32 everywhere.
+    """
 
     c2: int
     k: int = 1
     s: int = 1
     act: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = autopad(self.k)
         x = nn.Conv(self.c2, kernel_size=(self.k, self.k),
                     strides=(self.s, self.s), padding=((p, p), (p, p)),
-                    use_bias=False, name="conv")(x)
+                    use_bias=False, name="conv", dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn")(x)
+                         epsilon=1e-5, name="bn", dtype=self.dtype)(x)
         return nn.silu(x) if self.act else x
 
 
@@ -40,12 +47,14 @@ class Bottleneck(nn.Module):
     c2: int
     shortcut: bool = True
     e: float = 0.5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y = ConvBNAct(c_, 1, 1, name="cv1")(x, train=train)
-        y = ConvBNAct(self.c2, 3, 1, name="cv2")(y, train=train)
+        y = ConvBNAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        y = ConvBNAct(self.c2, 3, 1, dtype=self.dtype,
+                      name="cv2")(y, train=train)
         if self.shortcut and x.shape[-1] == self.c2:
             return x + y
         return y

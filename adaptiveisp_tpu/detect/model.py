@@ -39,7 +39,7 @@ class DetectHead(nn.Module):
         outs = []
         for i, x in enumerate(xs):
             y = nn.Conv(self.na * no, kernel_size=(1, 1), use_bias=True,
-                        name=f"m{i}")(x)
+                        name=f"m{i}")(x.astype(jnp.float32))
             n, ny, nx, _ = y.shape
             # [N, ny, nx, na, no] — channel-last keeps the 85-dim vector in
             # lanes for the decode/loss elementwise work.
@@ -48,13 +48,21 @@ class DetectHead(nn.Module):
 
 
 class DetectionModel(nn.Module):
-    """Executes a declarative layer spec (backbone + head)."""
+    """Executes a declarative layer spec (backbone + head).
+
+    dtype: computation dtype for the conv stack — jnp.bfloat16 roughly
+    doubles MXU throughput on TPU for inference (params stay float32; the
+    Detect head always emits float32 logits).
+    """
 
     spec: Any = None
     nc: int | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         spec = self.spec or YOLOV3_SPEC
         nc = self.nc if self.nc is not None else spec["nc"]
         layers = flatten_layers(spec)
@@ -72,13 +80,14 @@ class DetectionModel(nn.Module):
                 c2, k, s = args[0], args[1], args[2]
                 y = inp
                 for r in range(num):
-                    y = ConvBNAct(c2, k, s, name=f"l{i}_{r}" if num > 1
+                    y = ConvBNAct(c2, k, s, dtype=self.dtype,
+                                  name=f"l{i}_{r}" if num > 1
                                   else f"l{i}")(y, train=train)
             elif mod == "Bottleneck":
                 shortcut = args[1] if len(args) > 1 else True
                 y = inp
                 for r in range(num):
-                    y = Bottleneck(args[0], shortcut,
+                    y = Bottleneck(args[0], shortcut, dtype=self.dtype,
                                    name=f"l{i}_{r}" if num > 1
                                    else f"l{i}")(y, train=train)
             elif mod == "Upsample":
