@@ -25,6 +25,7 @@ class RolloutResult(NamedTuple):
     selected: jnp.ndarray       # [steps, N] chosen filter ids (-1 once stopped)
     pdfs: jnp.ndarray           # [steps, N, K]
     images_per_step: Optional[jnp.ndarray]  # [steps, N, H, W, 3] if recorded
+    params: Optional[jnp.ndarray] = None    # [steps, N, sum(n_params)]
 
 
 def adaptive_rollout(agent, variables, image, noises, states,
@@ -94,12 +95,16 @@ def jit_rollout(agent, steps: int, record_steps: bool = False,
             st_new = jnp.where(stop[:, None] > 0, st, new_states)
             sel = jnp.where(stop > 0, -1, info["selected_filter"])
             new_stop = jnp.maximum(stop, st_new[:, STATE_STOPPED_DIM])
-            ys = (sel, info["pdf"], img_new if record_steps else None)
+            params = jnp.concatenate(
+                [p.reshape(p.shape[0], -1) for p in info["filter_params"]],
+                axis=-1)
+            ys = (sel, info["pdf"], params,
+                  img_new if record_steps else None)
             return (img_new, st_new, new_stop), ys
 
-        (img, st, _), (sels, pdfs, imgs) = jax.lax.scan(
+        (img, st, _), (sels, pdfs, params, imgs) = jax.lax.scan(
             body, (image, states, stopped0), (noises, pipeline_arr))
-        return RolloutResult(img, st, None, sels, pdfs, imgs)
+        return RolloutResult(img, st, None, sels, pdfs, imgs, params)
 
     return jax.jit(fn)
 

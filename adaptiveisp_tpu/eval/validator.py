@@ -120,8 +120,20 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                                           f"step-{s}",
                                           os.path.split(path)[1] + ".png"))
             if save_dir and save_param and bi == 0:
+                # per-image JSON: applied pipeline + each selected filter's
+                # squashed parameters (reference val_adaptiveisp.py:298-327)
+                from adaptiveisp_tpu.ops.bank import param_offsets
+
+                offsets = param_offsets(cfg)
+                all_params = np.asarray(res.params)  # [steps, nb, P]
                 param_doc = collections.OrderedDict()
                 param_doc["pipeline"] = [s for s in seq if s >= 0]
+                for s, fid in enumerate(seq):
+                    if fid < 0:
+                        continue
+                    lo, hi = offsets[fid]
+                    param_doc[f"step{s}_{names[fid]}"] = [
+                        float(v) for v in all_params[s, bi, lo:hi]]
                 with open(os.path.join(
                         save_dir, "param_results",
                         os.path.splitext(os.path.split(path)[1])[0]

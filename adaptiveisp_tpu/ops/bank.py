@@ -84,6 +84,16 @@ def param_counts(cfg) -> Tuple[int, ...]:
     return tuple(s.n_params for s in filter_specs(cfg))
 
 
+def param_offsets(cfg) -> Tuple[Tuple[int, int], ...]:
+    """(start, end) slices of each filter's params in the concatenated
+    per-step parameter vector."""
+    out, total = [], 0
+    for n in param_counts(cfg):
+        out.append((total, total + n))
+        total += n
+    return tuple(out)
+
+
 def apply_one(cfg, spec: FilterSpec, img, params, mask_params=None):
     """One full filter step: masked lerp + clip (reference filters.py:91-126)."""
     mask = M.get_mask(cfg, img, mask_params)
@@ -116,7 +126,8 @@ def render_blend(cfg, img, params_list: Sequence, onehot,
     return out
 
 
-def render_switch(cfg, img, params_list: Sequence, selected_id):
+def render_switch(cfg, img, params_list: Sequence, selected_id,
+                  mask_params_list=None):
     """Render only the selected filter via lax.switch.
 
     ``selected_id`` is a scalar action shared by the whole batch (the batch-1
@@ -125,10 +136,12 @@ def render_switch(cfg, img, params_list: Sequence, selected_id):
     """
     specs = filter_specs(cfg)
 
-    branches = [
-        (lambda spec=spec, p=p: (lambda im: apply_one(cfg, spec, im, p)))()
-        for spec, p in zip(specs, params_list)
-    ]
+    branches = []
+    for k, (spec, p) in enumerate(zip(specs, params_list)):
+        mp = None if mask_params_list is None else mask_params_list[k]
+        branches.append(
+            (lambda spec=spec, p=p, mp=mp:
+             (lambda im: apply_one(cfg, spec, im, p, mp)))())
     return jax.lax.switch(selected_id, branches, img)
 
 

@@ -119,21 +119,22 @@ class Agent(nn.Module):
             onehot * jnp.log(pdf + 1e-10), axis=1, keepdims=True)
 
         # ---- render (reference agent.py:116, 154) --------------------------
+        mask_list = mask_params if cfg.masking else None
         if render == "switch":
             # whole batch shares one action: forced pipelines / batch of 1
             sel_scalar = sel[0]
-            out = bank.render_switch(cfg, x, squashed, sel_scalar)
+            out = bank.render_switch(cfg, x, squashed, sel_scalar, mask_list)
         else:
-            out = bank.render_blend(cfg, x, squashed, onehot)
+            out = bank.render_blend(cfg, x, squashed, onehot, mask_list)
 
         high_res_out = None
         if high_res is not None:
             if render == "switch":
                 high_res_out = bank.render_switch(cfg, high_res, squashed,
-                                                  sel[0])
+                                                  sel[0], mask_list)
             else:
                 high_res_out = bank.render_blend(cfg, high_res, squashed,
-                                                 onehot)
+                                                 onehot, mask_list)
 
         # ---- new states (reference agent.py:234-259) -----------------------
         step = states[:, STATE_STEP_DIM:STATE_STEP_DIM + 1]

@@ -192,3 +192,38 @@ def test_dp_sharded_step_matches_single_device():
     b = jax.tree_util.tree_leaves(out_sharded.state.agent_params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_rollout_records_params():
+    model, variables = create_agent_state(
+        CFG, jax.random.PRNGKey(0), image_size=IMG, batch=1)
+    roll = jit_rollout(model, steps=2)
+    img = jnp.asarray(RNG.rand(1, IMG, IMG, 3).astype(np.float32))
+    noises = jnp.asarray(RNG.rand(2, 1, CFG.z_dim).astype(np.float32))
+    states = jnp.asarray(get_initial_states(1, CFG.num_state_dim))
+    res = roll(variables, img, noises, states, no_pipeline(2))
+    from adaptiveisp_tpu.ops.bank import param_counts
+    assert res.params.shape == (2, 1, sum(param_counts(CFG)))
+    p = np.asarray(res.params)
+    # exposure params live in [-3.5, 3.5]; gamma in [1/3, 3]
+    assert np.all(np.abs(p[..., 0]) <= 3.5)
+    assert np.all(p[..., 1] >= 1 / 3 - 1e-5) and np.all(p[..., 1] <= 3 + 1e-5)
+
+
+def test_agent_masking_enabled_runs():
+    cfg = CFG.replace(masking=True)
+    model, variables = create_agent_state(
+        cfg, jax.random.PRNGKey(0), image_size=IMG, batch=2)
+    x = jnp.asarray(RNG.rand(2, IMG, IMG, 3).astype(np.float32))
+    z = jnp.asarray(RNG.rand(2, cfg.z_dim).astype(np.float32))
+    states = jnp.asarray(get_initial_states(2, cfg.num_state_dim))
+    out, ns, surr, pen, _, info = model.apply(variables, x, z, states, 1.0,
+                                              train=False)
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and o.min() >= 0 and o.max() <= 1
+    # with the mask the output is a partial lerp -> generally differs from
+    # the unmasked render
+    model2, variables2 = create_agent_state(
+        CFG, jax.random.PRNGKey(0), image_size=IMG, batch=2)
+    out2, *_ = model2.apply(variables2, x, z, states, 1.0, train=False)
+    assert not np.allclose(o, np.asarray(out2), atol=1e-5)
