@@ -1,0 +1,109 @@
+"""Optimize a FIXED (non-adaptive) ISP pipeline against detection loss.
+
+The reference's headline comparison is AdaptiveISP (71.4 mAP) vs a fixed
+optimized pipeline (70.1 mAP, /root/reference/README.md:9) — but it ships no
+tool to produce that baseline.  This module does: gradient descent on the
+raw (pre-squash) parameters of a fixed filter chain, minimizing the frozen
+detector's loss over a dataset.  The whole chain is differentiable (the
+fused Pallas path routes its backward through the XLA stage chain).
+
+    params = optimize_fixed_pipeline(cfg, stages=("exposure", "improved_wb",
+        "ccm", "gamma", "sharpen"), yolo=..., yolo_vars=..., batches=...)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from adaptiveisp_tpu.detect.loss import LossHyp, per_image_loss_batch
+from adaptiveisp_tpu.ops import bank
+
+
+def init_raw_params(cfg, stage_names: Sequence[str], key=None) -> Dict:
+    """Zero-initialised raw features per stage (squash(0) = each filter's
+    neutral-ish midpoint)."""
+    out = {}
+    for i, name in enumerate(stage_names):
+        n = bank.REGISTRY[name].n_params
+        out[f"{i}_{name}"] = jnp.zeros((1, n), jnp.float32)
+    return out
+
+
+def render_with_raw_params(cfg, img, stage_names: Sequence[str], raw: Dict):
+    """Squash each stage's raw params and run the (fused) pipeline."""
+    stages = []
+    for i, name in enumerate(stage_names):
+        spec = bank.REGISTRY[name]
+        stages.append((name, spec.squash(cfg, raw[f"{i}_{name}"])))
+    return bank.render_pipeline(cfg, img, stages)
+
+
+def make_fixed_pipeline_step(cfg, stage_names: Sequence[str], yolo,
+                             anchors_grid, hyp: LossHyp, tx):
+    """One jitted optimization step over the pipeline's raw params."""
+
+    def loss_fn(raw, yolo_vars, images, targets, tmask):
+        rendered = render_with_raw_params(cfg, images, stage_names, raw)
+        preds = yolo.apply(yolo_vars, rendered, train=False)
+        losses, _ = per_image_loss_batch(preds, targets, tmask,
+                                         anchors_grid, hyp)
+        return losses.mean()
+
+    def step(raw, opt_state, yolo_vars, images, targets, tmask):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            raw, yolo_vars, images, targets, tmask)
+        updates, opt_state = tx.update(grads, opt_state, raw)
+        raw = optax.apply_updates(raw, updates)
+        return raw, opt_state, loss
+
+    return jax.jit(step)
+
+
+def optimize_fixed_pipeline(cfg, stage_names: Sequence[str], yolo, yolo_vars,
+                            anchors_grid, batches: Iterable,
+                            hyp: LossHyp = None, lr: float = 3e-2,
+                            steps: int = 200, log_every: int = 50,
+                            verbose: bool = True):
+    """batches: iterable of (images, targets, tmask) device-ready tuples.
+
+    Returns (squashed_stages, raw_params, loss_history).
+    """
+    hyp = hyp or LossHyp()
+    # disallow fused forward here: we differentiate every step, and the
+    # custom_vjp recompute would double the work
+    cfg = cfg.replace(use_pallas=False) if hasattr(cfg, "replace") else cfg
+    tx = optax.adam(lr)
+    raw = init_raw_params(cfg, stage_names)
+    opt_state = tx.init(raw)
+    step = make_fixed_pipeline_step(cfg, stage_names, yolo, anchors_grid,
+                                    hyp, tx)
+    history: List[float] = []
+    it = 0
+    batch_iter = iter(batches)
+    cache = []
+    while it < steps:
+        try:
+            batch = next(batch_iter)
+            cache.append(batch)
+        except StopIteration:
+            batch_iter = iter(cache)
+            batch = next(batch_iter)
+        images, targets, tmask = batch
+        raw, opt_state, loss = step(raw, opt_state, yolo_vars, images,
+                                    targets, tmask)
+        history.append(float(loss))
+        if verbose and it % log_every == 0:
+            print(f"[fixed-pipeline {it}] detect loss {history[-1]:.4f}",
+                  flush=True)
+        it += 1
+
+    squashed = []
+    for i, name in enumerate(stage_names):
+        spec = bank.REGISTRY[name]
+        squashed.append((name, spec.squash(cfg, raw[f"{i}_{name}"])))
+    return squashed, raw, history
