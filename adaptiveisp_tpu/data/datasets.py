@@ -87,7 +87,8 @@ class ISPDataset:
         self.indices = np.arange(len(self.im_files))
 
     def __len__(self):
-        return len(self.im_files)
+        # indices may be a subset view (see split())
+        return len(self.indices)
 
     # ---------------------------------------------------------------- #
     def _load_resized(self, index: int):
@@ -154,6 +155,26 @@ class ISPDataset:
     def get_batch(self, indices: List[int]):
         records = [self[i] for i in indices]
         return collate(records)
+
+    def split(self, n_val: int, seed: int = 0):
+        """Random train/val subset split of one file list — the reference's
+        create_train_val_dataloader_real (dataloader.py:205-277).
+
+        Returns two views sharing image/label lists but with disjoint
+        index sets.
+        """
+        import copy
+
+        rng = np.random.RandomState(seed)
+        order = rng.permutation(len(self.im_files))
+        val_idx = np.sort(order[:n_val])
+        train_idx = np.sort(order[n_val:])
+        train = copy.copy(self)
+        val = copy.copy(self)
+        train.indices = train_idx
+        val.indices = val_idx
+        val.train = False
+        return train, val
 
 
 def collate(records):

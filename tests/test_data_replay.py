@@ -148,3 +148,15 @@ def test_batch_feeder_sharding(toy_dataset_dir):
     # disjoint per-host slices of the same shuffled epoch
     assert not (seen0 & seen1)
     assert len(seen0 | seen1) == 8
+
+
+def test_dataset_split(toy_dataset_dir):
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                    cache_labels=False)
+    train, val = ds.split(n_val=3, seed=0)
+    assert len(train) == 5 and len(val) == 3
+    train_paths = {train[i]["path"] for i in range(len(train))}
+    val_paths = {val[i]["path"] for i in range(len(val))}
+    assert not (train_paths & val_paths)
+    assert len(train_paths | val_paths) == 8
+    assert val.train is False
