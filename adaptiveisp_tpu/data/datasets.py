@@ -104,7 +104,7 @@ class ISPDataset:
         index = int(self.indices[index])
         img, (h0, w0), (h, w) = self._load_resized(index)
 
-        if self.source == "raw":
+        if self.source in ("raw", "raw16"):
             if not self.train:
                 # deterministic per-image seed from the filename stem
                 # (reference dataset.py:83-86)
@@ -117,6 +117,11 @@ class ISPDataset:
             img, _ = raw_np.unprocess_wo_mosaic(
                 img, self.add_noise, self.brightness_range,
                 self.noise_level, self.use_linear)
+            if self.source == "raw16":
+                # uint16 sensor round-trip (the RAWV2 variant,
+                # reference dataset.py:157-275)
+                img = (np.round(img * 65535.0).astype(np.uint16)
+                       .astype(np.float32) / 65535.0)
         elif self.source == "rod":
             # HDR .npy: normalise by the 99th percentile
             # (reference dataset.py:1196-1219)

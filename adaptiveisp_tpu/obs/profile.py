@@ -59,3 +59,37 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def profile_fn(fn, *args, **kwargs) -> Dict[str, float]:
+    """FLOPs/memory cost analysis of a jittable function — the
+    torch_utils.profile() microbench analog (reference torch_utils.py:151-199)
+    using XLA's own cost model instead of thop.
+
+    Returns {'flops', 'bytes_accessed', 'params'} (keys present when the
+    backend reports them).
+    """
+    lowered = jax.jit(fn).lower(*args, **kwargs)
+    compiled = lowered.compile()
+    out: Dict[str, float] = {}
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if cost:
+            for k in ("flops", "bytes accessed"):
+                if k in cost:
+                    out[k.replace(" ", "_")] = float(cost[k])
+    except Exception:
+        pass
+    try:
+        mem = compiled.memory_analysis()
+        if mem is not None:
+            out["output_bytes"] = float(
+                getattr(mem, "output_size_in_bytes", 0))
+            out["temp_bytes"] = float(getattr(mem, "temp_size_in_bytes", 0))
+            out["argument_bytes"] = float(
+                getattr(mem, "argument_size_in_bytes", 0))
+    except Exception:
+        pass
+    return out

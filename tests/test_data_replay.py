@@ -160,3 +160,12 @@ def test_dataset_split(toy_dataset_dir):
     assert not (train_paths & val_paths)
     assert len(train_paths | val_paths) == 8
     assert val.train is False
+
+
+def test_dataset_raw16_roundtrip(toy_dataset_dir):
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="raw16",
+                    train=False, cache_labels=False)
+    im = ds[0]["im"]
+    # all values sit exactly on the uint16 grid
+    q = np.round(im * 65535.0)
+    np.testing.assert_allclose(im, q / 65535.0, atol=1e-7)

@@ -163,3 +163,25 @@ def test_callbacks_registry():
     assert seen == [(1, 2)]
     with pytest.raises(AssertionError):
         cb.run("nonexistent_hook")
+
+
+def test_profile_fn_reports_costs():
+    from adaptiveisp_tpu.obs.profile import profile_fn
+
+    def f(x):
+        return jnp.tanh(x @ x)
+
+    out = profile_fn(f, jnp.ones((64, 64)))
+    assert isinstance(out, dict)
+    # CPU backend reports flops for the matmul
+    if "flops" in out:
+        assert out["flops"] >= 2 * 64 * 64 * 64 * 0.5
+
+
+def test_profiler_trace_smoke(tmp_path):
+    from adaptiveisp_tpu.obs.profile import trace
+
+    with trace(str(tmp_path)):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    import os
+    assert any(os.scandir(tmp_path))  # trace artifacts written
