@@ -229,9 +229,22 @@ class Trainer:
                 save_img(np.asarray(res.images_per_step[i][0]),
                          os.path.join(self.image_dir,
                                       f"val{b}_iter{it}_step{i}.png"))
+            # fused trajectory strip: images + decision bars
+            # (reference train.py:414-447)
+            from adaptiveisp_tpu.obs.visualize import trajectory_strip
+
+            imgs = [np.asarray(img[0])] + [
+                np.asarray(res.images_per_step[i][0])
+                for i in range(self.cfg.test_steps)]
+            strip = trajectory_strip(
+                imgs, [np.asarray(res.pdfs[i][0])
+                       for i in range(self.cfg.test_steps)],
+                [int(res.selected[i][0])
+                 for i in range(self.cfg.test_steps)])
+            save_img(strip, os.path.join(self.image_dir,
+                                         f"val{b}_iter{it}_steps.png"))
             if self.writer is not None:
-                self.writer.image(f"val_{b}",
-                                  np.asarray(res.image[0]), it)
+                self.writer.image(f"val_{b}", strip, it)
 
     def close(self):
         self.replay.stop()

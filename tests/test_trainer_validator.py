@@ -103,3 +103,29 @@ def test_validator_forced_pipeline(toy_dataset_dir, tmp_path):
         yolo_spec=MINI_SPEC)
     for fname, seq in res["records"]:
         assert seq == [0, 9]
+
+
+def test_trainer_val_trajectories(toy_dataset_dir, tmp_path):
+    cfg = CFG.replace(test_steps=2)
+    tcfg = TrainConfig(batch_size=2, epochs=1, imgsz=64, data_name="lod")
+    tr = Trainer(cfg, tcfg, toy_dataset_dir, val_path=toy_dataset_dir,
+                 save_dir=str(tmp_path / "exp2"), yolo_spec=MINI_SPEC,
+                 t_max=8, log=False)
+    tr.validate_trajectories(it=0, max_images=1)
+    import os
+    files = os.listdir(tr.image_dir)
+    assert any("steps" in f for f in files)
+    assert any("step0" in f for f in files)
+    tr.close()
+
+
+def test_visualize_strip():
+    from adaptiveisp_tpu.obs.visualize import pdf_bars, trajectory_strip
+
+    rng = np.random.RandomState(0)
+    pdf = rng.dirichlet(np.ones(10))
+    panel = pdf_bars(pdf, selected=3)
+    assert panel.shape == (64, 64, 3)
+    imgs = [rng.rand(32, 32, 3).astype(np.float32) for _ in range(3)]
+    strip = trajectory_strip(imgs, [pdf, pdf], [3, -1])
+    assert strip.shape == (136, 204, 3)
