@@ -22,7 +22,7 @@ Images load via PIL (cv2-free); pixels reach the device as NHWC float32 in
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp

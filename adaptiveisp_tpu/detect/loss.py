@@ -26,7 +26,7 @@ when two boxes share a cell and anchor, and max is deterministic on TPU.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ bit-parity with the published COCO 101-point protocol.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -12,7 +12,7 @@ Detect inference branch, yolo.py:56-89).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ plus an info dict, and optionally the high-res render.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,6 @@ Channel schedule for a 64x64 input with mid_channels=32, output_dim=4096:
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 MIN_FEATURE_MAP_SIZE = 4
 

@@ -13,7 +13,7 @@ fused Pallas path routes its backward through the XLA stage chain).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence
 
 import jax
 import jax.numpy as jnp

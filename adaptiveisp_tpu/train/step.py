@@ -27,8 +27,7 @@ exponential LR decay 0.1^(3*iter/max_iter) (train.py:210-218) live in
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

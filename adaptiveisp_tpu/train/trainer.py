@@ -28,7 +28,7 @@ from adaptiveisp_tpu.detect.model import (
     DetectionModel, anchors_in_grid_units, create_detector)
 from adaptiveisp_tpu.detect.spec import YOLOV3_SPEC
 from adaptiveisp_tpu.eval.rollout import jit_rollout, no_pipeline
-from adaptiveisp_tpu.obs.logging import MetricWriter, Tee, save_img
+from adaptiveisp_tpu.obs.logging import MetricWriter, save_img
 from adaptiveisp_tpu.ops.bank import short_names
 from adaptiveisp_tpu.policy.agent import create_agent_state
 from adaptiveisp_tpu.policy.states import get_initial_states
@@ -37,7 +37,7 @@ from adaptiveisp_tpu.train import checkpoint as ckpt_lib
 from adaptiveisp_tpu.train import mesh as mesh_lib
 from adaptiveisp_tpu.train.optim import make_optimizer
 from adaptiveisp_tpu.train.step import (
-    StepOutput, TrainState, init_train_state, make_train_step)
+    StepOutput, init_train_state, make_train_step)
 
 
 def imgsz_hyp(imgsz: int, nc: int = 80) -> LossHyp:
@@ -203,7 +203,13 @@ class Trainer:
             if it > 0 and it % cfg.val_freq == 0 and self.val_feed is not None:
                 self.validate_trajectories(it)
             if it > 0 and it % cfg.save_model_freq == 0:
-                ckpt_lib.save(self.ckpt_dir, jax.device_get(self.state), it)
+                host_state = jax.device_get(self.state)
+                ckpt_lib.save(self.ckpt_dir, host_state, it)
+                # reference-style weights-only artifact for the inference
+                # CLIs (val_isp --isp_weights), cf. DynamicISP ckpt layout
+                ckpt_lib.save_weights_only(
+                    os.path.join(self.ckpt_dir, f"weights_iter_{it}.pkl"),
+                    host_state)
         return self.state
 
     # ------------------------------------------------------------------ #

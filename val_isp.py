@@ -41,7 +41,6 @@ def main(argv=None):
 
     import jax
 
-    from adaptiveisp_tpu.config import TrainConfig
     from adaptiveisp_tpu.data.dataset_config import check_dataset
     from adaptiveisp_tpu.data.datasets import ISPDataset
     from adaptiveisp_tpu.detect.model import create_detector
