@@ -43,7 +43,7 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                    save_image: bool = False, save_param: bool = False,
                    save_json: bool = False, anno_json: Optional[str] = None,
                    noise_seed: int = 0, max_images: int = -1,
-                   render: str = "auto", yolo_spec=None) -> Dict:
+                   render: str = "auto", yolo_spec=None, mesh=None) -> Dict:
     """Returns {'precision', 'recall', 'map50', 'map', 'speed', 'records'}.
 
     render="auto" picks the switch path (renders only the selected filter —
@@ -94,6 +94,14 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                 get_noise(rng, nb, cfg.z_dim, cfg.z_type)
                 for _ in range(steps)]))
             states = jnp.asarray(get_initial_states(nb, cfg.num_state_dim))
+            if mesh is not None and nb % mesh.devices.size == 0:
+                # data-parallel eval: shard the batch over the mesh; the
+                # jits propagate input shardings (throughput mode)
+                from adaptiveisp_tpu.train.mesh import data_sharding
+
+                im = jax.device_put(im, data_sharding(mesh, im.ndim))
+                states = jax.device_put(states,
+                                        data_sharding(mesh, states.ndim))
 
         with profiles["inference"]:
             res = roll(agent_variables, im, noises, states, pipe_arr)

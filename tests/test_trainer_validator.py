@@ -129,3 +129,26 @@ def test_visualize_strip():
     imgs = [rng.rand(32, 32, 3).astype(np.float32) for _ in range(3)]
     strip = trajectory_strip(imgs, [pdf, pdf], [3, -1])
     assert strip.shape == (136, 204, 3)
+
+
+def test_validator_dp_mesh(toy_dataset_dir, tmp_path):
+    """Data-parallel eval over the 8-device CPU mesh matches single device."""
+    import jax
+    from adaptiveisp_tpu.policy.agent import create_agent_state
+    from adaptiveisp_tpu.train import mesh as mesh_lib
+
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                    train=False, cache_labels=False)
+    agent, agent_vars = create_agent_state(
+        CFG, jax.random.PRNGKey(0), image_size=64, batch=1)
+    yolo, yolo_vars = create_detector(
+        jax.random.PRNGKey(1), spec=MINI_SPEC, imgsz=64)
+
+    kw = dict(steps=2, batch_size=8, max_images=8, yolo_spec=MINI_SPEC,
+              render="blend")
+    r1 = run_validation(CFG, agent, agent_vars, yolo, yolo_vars, ds, **kw)
+    mesh = mesh_lib.make_mesh()
+    r2 = run_validation(CFG, agent, agent_vars, yolo, yolo_vars, ds,
+                        mesh=mesh, **kw)
+    assert r1["map50"] == r2["map50"]
+    assert [s for _, s in r1["records"]] == [s for _, s in r2["records"]]
