@@ -53,7 +53,8 @@ class Trainer:
                  save_dir: str = "experiments/adaptiveisp-tpu",
                  yolo_variables=None, t_max: int = 64,
                  data_source: Optional[str] = None,
-                 mesh=None, log: bool = True, yolo_spec=None):
+                 mesh=None, log: bool = True, yolo_spec=None,
+                 yolo_dtype=None):
         cfg = cfg.replace(
             filter_runtime_penalty=tcfg.runtime_penalty,
             filter_runtime_penalty_lambda=tcfg.runtime_penalty_lambda)
@@ -99,7 +100,10 @@ class Trainer:
             cfg, k_value, image_size=tcfg.imgsz, batch=1)
         spec = yolo_spec or YOLOV3_SPEC
         self.yolo_spec = spec
-        self.yolo = DetectionModel(spec=spec)
+        # yolo_dtype=jnp.bfloat16 runs the frozen reward detector in MXU-
+        # native bf16 (~15% faster steps: 96 vs 113 ms at batch 8 @ 512px);
+        # default f32 keeps reward values parity-exact with the reference.
+        self.yolo = DetectionModel(spec=spec, dtype=yolo_dtype)
         if yolo_variables is None:
             _, yolo_variables = create_detector(k_yolo, spec=spec, imgsz=256)
         self.yolo_vars = yolo_variables
