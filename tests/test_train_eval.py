@@ -227,3 +227,32 @@ def test_agent_masking_enabled_runs():
         CFG, jax.random.PRNGKey(0), image_size=IMG, batch=2)
     out2, *_ = model2.apply(variables2, x, z, states, 1.0, train=False)
     assert not np.allclose(o, np.asarray(out2), atol=1e-5)
+
+
+def test_rollout_deterministic_given_noise():
+    model, variables = create_agent_state(
+        CFG, jax.random.PRNGKey(0), image_size=IMG, batch=1)
+    roll = jit_rollout(model, steps=3)
+    img = jnp.asarray(RNG.rand(1, IMG, IMG, 3).astype(np.float32))
+    noises = jnp.asarray(RNG.rand(3, 1, CFG.z_dim).astype(np.float32))
+    states = jnp.asarray(get_initial_states(1, CFG.num_state_dim))
+    r1 = roll(variables, img, noises, states, no_pipeline(3))
+    r2 = roll(variables, img, noises, states, no_pipeline(3))
+    np.testing.assert_array_equal(np.asarray(r1.image), np.asarray(r2.image))
+    np.testing.assert_array_equal(np.asarray(r1.selected),
+                                  np.asarray(r2.selected))
+
+
+def test_initialize_detect_biases():
+    from adaptiveisp_tpu.detect.model import initialize_detect_biases
+
+    yolo, variables = create_detector(jax.random.PRNGKey(2), spec=MINI_SPEC,
+                                      imgsz=IMG)
+    out = initialize_detect_biases(variables, spec=MINI_SPEC, imgsz=IMG)
+    det = out["params"]["l6"]
+    b = np.asarray(det["m0"]["bias"]).reshape(3, -1)
+    b_old = np.asarray(variables["params"]["l6"]["m0"]["bias"]).reshape(3, -1)
+    # objectness bias shifted by log(8/(imgsz/stride)^2), cls by log prior
+    np.testing.assert_allclose(b[:, 4] - b_old[:, 4],
+                               np.log(8 / (IMG / 16) ** 2), rtol=1e-5)
+    assert (b[:, 5:] < b_old[:, 5:]).all()  # negative class prior added
