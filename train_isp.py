@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--cfg", type=str, default=None,
                    help="python module exporting `cfg` (a Config) to swap "
                         "filter rosters, like the reference --cfg")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="cap training iterations (smoke runs); default = "
+                        "epochs*1000/batch like the reference")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel devices (0 = all available)")
     args = p.parse_args(argv)
@@ -133,7 +136,7 @@ def main(argv=None):
             mesh=mesh)
         if args.resume:
             trainer.resume(args.resume)
-        trainer.train()
+        trainer.train(max_steps=args.max_steps)
         trainer.close()
     elif args.task == "val":
         from adaptiveisp_tpu.eval.hr_render import run_hr_validation
