@@ -158,6 +158,32 @@ class ConfusionMatrix:
         return tp[:-1], fp[:-1]
 
 
+def plot_pr_curve(px, py, ap, save_path: str, names=()):
+    """PR-curve plot at mAP@0.5 (reference metrics.py:85-89 / plot_pr_curve)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    py = np.stack(py, axis=1) if len(py) else np.zeros((len(px), 0))
+    for i in range(py.shape[1]):
+        label = (f"{names[i]} {ap[i, 0]:.3f}" if i < len(names)
+                 else f"class {i}")
+        ax.plot(px, py[:, i], linewidth=1, label=label)
+    if py.shape[1]:
+        ax.plot(px, py.mean(1), linewidth=3, color="blue",
+                label=f"all classes {ap[:, 0].mean():.3f} mAP@0.5")
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(fontsize="small")
+    fig.savefig(save_path, dpi=200)
+    plt.close(fig)
+    return save_path
+
+
 def summarize(stats) -> Dict[str, float]:
     """mp/mr/map50/map from accumulated (correct, conf, pcls, tcls) tuples."""
     stats = [np.concatenate(x, 0) for x in zip(*stats)]

@@ -46,7 +46,7 @@ def timed_chain(step_fn, x0, iters):
     return (t_long - t_short) / (long - short)
 
 
-def bench_tpu_render(batch=8, size=512, iters=64):
+def bench_tpu_render(batch=8, size=512, iters=256):
     import jax
     import jax.numpy as jnp
 

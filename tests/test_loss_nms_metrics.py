@@ -297,3 +297,47 @@ def test_summarize_end_to_end():
     res = summarize(stats)
     assert res["map50"] > 0.99
     assert res["map"] > 0.99
+
+
+def test_autoanchor_metric_and_refit():
+    from adaptiveisp_tpu.detect.autoanchor import (
+        anchor_metric, check_anchor_order, check_anchors, kmean_anchors,
+        labels_to_class_weights)
+
+    rng = np.random.RandomState(0)
+    # two clusters of box sizes
+    wh = np.concatenate([rng.normal(20, 2, (200, 2)),
+                         rng.normal(120, 10, (200, 2))]).clip(2)
+    good = np.array([[20, 20], [120, 120]], np.float32)
+    bad = np.array([[500, 500], [700, 700]], np.float32)
+    _, bpr_good = anchor_metric(wh, good)
+    _, bpr_bad = anchor_metric(wh, bad)
+    assert bpr_good > 0.99 and bpr_bad < 0.5
+
+    new, bpr, refit = check_anchors(wh, bad, n=2)
+    assert refit and bpr > 0.9
+    fitted = kmean_anchors(wh, n=2)
+    assert fitted.shape == (2, 2)
+    assert abs(fitted[0].mean() - 20) < 6 and abs(fitted[1].mean() - 120) < 25
+
+    # anchor order: areas must grow with stride
+    a = [np.array([[100., 100.]]), np.array([[10., 10.]])]
+    fixed = check_anchor_order(a, [8, 16])
+    assert fixed[0].prod() < fixed[1].prod()
+
+    w = labels_to_class_weights(
+        [np.array([[0, .5, .5, .1, .1], [0, .5, .5, .1, .1],
+                   [1, .5, .5, .1, .1]], np.float32)], nc=3)
+    assert w[1] > w[0] and abs(w.sum() - 1) < 1e-6
+
+
+def test_plot_pr_curve(tmp_path):
+    from adaptiveisp_tpu.detect.metrics import plot_pr_curve
+
+    px = np.linspace(0, 1, 100)
+    py = [np.linspace(1, 0, 100), np.linspace(0.8, 0.2, 100)]
+    ap = np.array([[0.5], [0.4]])
+    p = plot_pr_curve(px, py, ap, str(tmp_path / "pr.png"),
+                      names=["a", "b"])
+    import os
+    assert os.path.getsize(p) > 1000
