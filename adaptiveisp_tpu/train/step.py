@@ -149,6 +149,7 @@ def make_train_step(agent, value, yolo, cfg, tcfg, anchors_grid,
                 "q_value": q_value.mean(),
                 "selected_filter": info["selected_filter"],
                 "retouch_mean": retouch.mean(),
+                "retouch_finite": jnp.isfinite(retouch).all(),
             },
         }
         return total, aux

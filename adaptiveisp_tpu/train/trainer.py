@@ -54,7 +54,7 @@ class Trainer:
                  yolo_variables=None, t_max: int = 64,
                  data_source: Optional[str] = None,
                  mesh=None, log: bool = True, yolo_spec=None,
-                 yolo_dtype=None):
+                 yolo_dtype=None, device_replay: bool = False):
         cfg = cfg.replace(
             filter_runtime_penalty=tcfg.runtime_penalty,
             filter_runtime_penalty_lambda=tcfg.runtime_penalty_lambda)
@@ -79,8 +79,20 @@ class Trainer:
             train_path, img_size=tcfg.imgsz, source=source, train=True,
             add_noise=tcfg.add_noise, brightness_range=tcfg.bri_range,
             noise_level=tcfg.noise_level, use_linear=tcfg.use_linear)
-        self.replay = ReplayMemory(cfg, train_ds, tcfg.batch_size,
-                                   seed=tcfg.seed)
+        # device_replay keeps the image pool in HBM (SURVEY §7): per-step
+        # host traffic drops from 2x ~25 MB (batch down + up) to fresh-RAW
+        # uploads only.  Single-device pools only (the DP path keeps the
+        # host pool so batches shard over the mesh).
+        self.device_replay = None
+        if device_replay and mesh is None:
+            from adaptiveisp_tpu.data.replay_device import DeviceReplayMemory
+
+            self.device_replay = DeviceReplayMemory(
+                cfg, train_ds, tcfg.batch_size, seed=tcfg.seed)
+            self.replay = self.device_replay  # stats/stop interface
+        else:
+            self.replay = ReplayMemory(cfg, train_ds, tcfg.batch_size,
+                                       seed=tcfg.seed)
         self.val_feed = None
         if val_path is not None:
             val_ds = ISPDataset(val_path, img_size=tcfg.imgsz, source=source,
@@ -156,10 +168,18 @@ class Trainer:
         mloss_agent = mloss_value = 0.0
         t_start = time.time()
 
+        device_pool = self.device_replay is not None
         for it in range(max_iter + 1):
             progress = it / max(tcfg.max_iter_step, 1)
-            feed = self.replay.get_feed_dict_and_states(tcfg.batch_size)
-            batch = self._device_batch(feed)
+            if device_pool:
+                idx, imgs_dev, states_np, labels, paths, shapes, z = (
+                    self.device_replay.sample(tcfg.batch_size))
+                targets, tmask = pad_targets(labels, self.t_max)
+                batch = (imgs_dev, jnp.asarray(z), jnp.asarray(states_np),
+                         jnp.asarray(targets), jnp.asarray(tmask))
+            else:
+                feed = self.replay.get_feed_dict_and_states(tcfg.batch_size)
+                batch = self._device_batch(feed)
             self.dropout_key, sub = jax.random.split(self.dropout_key)
 
             out: StepOutput = self.train_step(
@@ -167,17 +187,32 @@ class Trainer:
             self.state = out.state
 
             # ---- divergence guard + replay update (train.py:374-381) ---
-            retouch = np.asarray(jax.device_get(out.retouch))
-            new_states = np.asarray(jax.device_get(out.new_states))
-            mean_b = float(retouch.mean())
-            if (not np.isfinite(retouch).all() or mean_b < 0.01
-                    or mean_b > tcfg.max_brightness):
-                print(f"retouch diverged (mean={mean_b:.4f}); refilling pool")
-                self.replay.fill_pool()
+            if device_pool:
+                # only scalars + the small state matrix cross the tunnel;
+                # the retouched images stay in HBM
+                mean_b = float(jax.device_get(out.metrics["retouch_mean"]))
+                finite = bool(jax.device_get(out.metrics["retouch_finite"]))
+                diverged = (not finite or mean_b < 0.01
+                            or mean_b > tcfg.max_brightness)
+                if diverged:
+                    print(f"retouch diverged (mean={mean_b:.4f}); "
+                          f"refreshing slots")
+                new_states = np.asarray(jax.device_get(out.new_states))
+                self.device_replay.replace(idx, out.retouch, new_states,
+                                           diverged=diverged)
             else:
-                self.replay.replace_memory(
-                    list(retouch), feed["label"], feed["path"],
-                    feed["shape"], list(new_states))
+                retouch = np.asarray(jax.device_get(out.retouch))
+                new_states = np.asarray(jax.device_get(out.new_states))
+                mean_b = float(retouch.mean())
+                if (not np.isfinite(retouch).all() or mean_b < 0.01
+                        or mean_b > tcfg.max_brightness):
+                    print(f"retouch diverged (mean={mean_b:.4f}); "
+                          f"refilling pool")
+                    self.replay.fill_pool()
+                else:
+                    self.replay.replace_memory(
+                        list(retouch), feed["label"], feed["path"],
+                        feed["shape"], list(new_states))
 
             metrics = {k: np.asarray(jax.device_get(v))
                        for k, v in out.metrics.items()}

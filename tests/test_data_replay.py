@@ -169,3 +169,57 @@ def test_dataset_raw16_roundtrip(toy_dataset_dir):
     # all values sit exactly on the uint16 grid
     q = np.round(im * 65535.0)
     np.testing.assert_allclose(im, q / 65535.0, atol=1e-7)
+
+
+def test_device_replay_memory(toy_dataset_dir):
+    import jax.numpy as jnp
+    from adaptiveisp_tpu.data.replay_device import DeviceReplayMemory
+
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                    cache_labels=False)
+    mem = DeviceReplayMemory(CFG, ds, batch_size=4, feeder_batch=4,
+                             prefetch=False, seed=0)
+    assert mem.images.shape == (8, 64, 64, 3)
+
+    idx, imgs, states, labels, paths, shapes, z = mem.sample(4)
+    assert imgs.shape == (4, 64, 64, 3)
+    assert states.shape == (4, CFG.num_state_dim)
+    assert len(set(idx.tolist())) == 4
+
+    # write back: mark 2 stopped, 2 continuing with new content
+    new_states = states.copy()
+    new_states[:, STATE_STEP_DIM] += 1
+    new_states[:2, STATE_STOPPED_DIM] = 1
+    marked = jnp.zeros_like(imgs) + 0.123
+    mem.replace(idx, marked, new_states)
+    # continuing slots hold the written image
+    got = np.asarray(mem.images[idx[2]])
+    np.testing.assert_allclose(got, 0.123, atol=1e-6)
+    # stopped slots are excluded from subsequent samples (refreshed on demand)
+    for _ in range(3):
+        idx2, *_rest = mem.sample(4)
+        st = mem.states[idx2]
+        assert (st[:, STATE_STOPPED_DIM] != 1).all()
+
+    # diverged batch refreshes slots with fresh RAWs (step reset to 0)
+    idx3, imgs3, states3, *_r = mem.sample(4)
+    mem.replace(idx3, imgs3, states3, diverged=True)
+    assert (mem.states[idx3][:, STATE_STEP_DIM] == 0).all()
+    mem.stop()
+
+
+def test_device_replay_overlong_refresh(toy_dataset_dir):
+    from adaptiveisp_tpu.data.replay_device import DeviceReplayMemory
+
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                    cache_labels=False)
+    cfg = CFG.replace(over_length_keep_prob=0.0)
+    mem = DeviceReplayMemory(cfg, ds, batch_size=4, feeder_batch=4,
+                             prefetch=False, seed=0)
+    idx, imgs, states, *_ = mem.sample(4)
+    ns = states.copy()
+    ns[:, STATE_STEP_DIM] = cfg.maximum_trajectory_length
+    mem.replace(idx, imgs, ns)
+    # all overlong -> refreshed to step 0
+    assert (mem.states[idx][:, STATE_STEP_DIM] == 0).all()
+    mem.stop()

@@ -152,3 +152,17 @@ def test_validator_dp_mesh(toy_dataset_dir, tmp_path):
                         mesh=mesh, **kw)
     assert r1["map50"] == r2["map50"]
     assert [s for _, s in r1["records"]] == [s for _, s in r2["records"]]
+
+
+def test_trainer_device_replay(toy_dataset_dir, tmp_path):
+    tcfg = TrainConfig(batch_size=2, epochs=1, imgsz=64, data_name="lod")
+    tr = Trainer(CFG, tcfg, toy_dataset_dir, val_path=None,
+                 save_dir=str(tmp_path / "expd"), yolo_spec=MINI_SPEC,
+                 t_max=8, log=False, device_replay=True)
+    assert tr.device_replay is not None
+    state = tr.train(max_steps=3)
+    import jax
+    assert int(jax.device_get(state.step)) == 4
+    # pool trajectories advanced on device
+    assert tr.device_replay.stats()["avg_trajectory"] > 0
+    tr.close()
