@@ -53,6 +53,9 @@ def parse_args(argv=None):
                         "epochs*1000/batch like the reference")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel devices (0 = all available)")
+    p.add_argument("--device_replay", action="store_true", default=False,
+                   help="keep the replay image pool in device HBM "
+                        "(single-device; kills the per-step host round-trip)")
     args = p.parse_args(argv)
     args.save_path = args.data_name + "-" + args.save_path
     if args.data_name == "lod":
@@ -133,7 +136,7 @@ def main(argv=None):
             val_path=data.get("val") if args.task == "train_val" else None,
             save_dir=os.path.join("experiments", args.save_path),
             yolo_variables=yolo_vars, data_source=data.get("source"),
-            mesh=mesh)
+            mesh=mesh, device_replay=args.device_replay)
         if args.resume:
             trainer.resume(args.resume)
         trainer.train(max_steps=args.max_steps)
