@@ -188,21 +188,27 @@ class Trainer:
 
             # ---- divergence guard + replay update (train.py:374-381) ---
             if device_pool:
-                # only scalars + the small state matrix cross the tunnel;
+                # ONE host fetch per step: metrics + the small state matrix;
                 # the retouched images stay in HBM
-                mean_b = float(jax.device_get(out.metrics["retouch_mean"]))
-                finite = bool(jax.device_get(out.metrics["retouch_finite"]))
-                diverged = (not finite or mean_b < 0.01
+                metrics, new_states = jax.device_get(
+                    (out.metrics, out.new_states))
+                metrics = {k: np.asarray(v) for k, v in metrics.items()}
+                new_states = np.asarray(new_states)
+                mean_b = float(metrics["retouch_mean"])
+                diverged = (not bool(metrics["retouch_finite"])
+                            or mean_b < 0.01
                             or mean_b > tcfg.max_brightness)
                 if diverged:
                     print(f"retouch diverged (mean={mean_b:.4f}); "
                           f"refreshing slots")
-                new_states = np.asarray(jax.device_get(out.new_states))
                 self.device_replay.replace(idx, out.retouch, new_states,
                                            diverged=diverged)
             else:
-                retouch = np.asarray(jax.device_get(out.retouch))
-                new_states = np.asarray(jax.device_get(out.new_states))
+                retouch, new_states, metrics = jax.device_get(
+                    (out.retouch, out.new_states, out.metrics))
+                retouch = np.asarray(retouch)
+                new_states = np.asarray(new_states)
+                metrics = {k: np.asarray(v) for k, v in metrics.items()}
                 mean_b = float(retouch.mean())
                 if (not np.isfinite(retouch).all() or mean_b < 0.01
                         or mean_b > tcfg.max_brightness):
@@ -213,9 +219,6 @@ class Trainer:
                     self.replay.replace_memory(
                         list(retouch), feed["label"], feed["path"],
                         feed["shape"], list(new_states))
-
-            metrics = {k: np.asarray(jax.device_get(v))
-                       for k, v in out.metrics.items()}
             mloss_agent = (mloss_agent * it + float(metrics["agent_loss"])) / (it + 1)
             mloss_value = (mloss_value * it + float(metrics["value_loss"])) / (it + 1)
 
