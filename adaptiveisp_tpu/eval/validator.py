@@ -84,6 +84,20 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
     coco_records = []
     n_total = len(dataset) if max_images < 0 else min(max_images, len(dataset))
 
+    # warm the jits so the speed report measures steady state, not compiles
+    if n_total:
+        wb = collate([dataset[0]] * batch_size)
+        wim = jnp.asarray(wb["im"])
+        wno = jnp.asarray(np.stack([
+            get_noise(np.random.RandomState(0), batch_size, cfg.z_dim,
+                      cfg.z_type) for _ in range(steps)]))
+        wst = jnp.asarray(get_initial_states(batch_size, cfg.num_state_dim))
+        wres = roll(agent_variables, wim, wno, wst, pipe_arr)
+        wpred = fwd(yolo_variables, wres.image)
+        jax.device_get(non_max_suppression(
+            wpred, conf_thres=conf_thres, iou_thres=iou_thres,
+            max_det=max_det, multi_label=True)[1])
+
     for start in range(0, n_total, batch_size):
         idx = list(range(start, min(start + batch_size, n_total)))
         with profiles["pre"]:
