@@ -184,16 +184,31 @@ def plot_pr_curve(px, py, ap, save_path: str, names=()):
     return save_path
 
 
-def summarize(stats) -> Dict[str, float]:
-    """mp/mr/map50/map from accumulated (correct, conf, pcls, tcls) tuples."""
+def summarize(stats, names=None) -> Dict[str, float]:
+    """mp/mr/map50/map from accumulated (correct, conf, pcls, tcls) tuples.
+
+    With ``names`` (id -> name), also returns ``per_class``: one row per
+    class with (name, n_labels, P, R, AP50, AP) — the reference's verbose
+    per-class table (val_adaptiveisp.py:406-408)."""
     stats = [np.concatenate(x, 0) for x in zip(*stats)]
     if len(stats) and stats[0].any():
-        _, _, p, r, f1, ap, _ = ap_per_class(*stats)
+        _, _, p, r, f1, ap, classes = ap_per_class(*stats)
         ap50, ap_mean = ap[:, 0], ap.mean(1)
-        return {
+        out = {
             "precision": float(p.mean()),
             "recall": float(r.mean()),
             "map50": float(ap50.mean()),
             "map": float(ap_mean.mean()),
         }
-    return {"precision": 0.0, "recall": 0.0, "map50": 0.0, "map": 0.0}
+        if names is not None:
+            nt = np.bincount(stats[3].astype(int),
+                             minlength=int(max(classes, default=0)) + 1)
+            out["per_class"] = [
+                {"class": names.get(int(c), str(int(c))),
+                 "labels": int(nt[int(c)]),
+                 "precision": float(p[i]), "recall": float(r[i]),
+                 "map50": float(ap50[i]), "map": float(ap_mean[i])}
+                for i, c in enumerate(classes)]
+        return out
+    return {"precision": 0.0, "recall": 0.0, "map50": 0.0, "map": 0.0,
+            **({"per_class": []} if names is not None else {})}

@@ -43,7 +43,8 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                    save_image: bool = False, save_param: bool = False,
                    save_json: bool = False, anno_json: Optional[str] = None,
                    noise_seed: int = 0, max_images: int = -1,
-                   render: str = "auto", yolo_spec=None, mesh=None) -> Dict:
+                   render: str = "auto", yolo_spec=None, mesh=None,
+                   class_names=None) -> Dict:
     """Returns {'precision', 'recall', 'map50', 'map', 'speed', 'records'}.
 
     render="auto" picks the switch path (renders only the selected filter —
@@ -189,7 +190,7 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                 coco_records += detections_to_coco(
                     path, det, class_map=COCO80_TO_91)
 
-    result = summarize(stats)
+    result = summarize(stats, names=class_names)
     result["speed"] = speed_report(profiles, n_total)
     result["records"] = records
     if save_dir:

@@ -341,3 +341,18 @@ def test_plot_pr_curve(tmp_path):
                       names=["a", "b"])
     import os
     assert os.path.getsize(p) > 1000
+
+
+def test_summarize_per_class():
+    iouv = np.linspace(0.5, 0.95, 10)
+    stats = []
+    det = np.array([[10, 10, 50, 50, 0.9, 0],
+                    [100, 100, 150, 150, 0.8, 1]], np.float32)
+    labels = np.array([[0, 10, 10, 50, 50],
+                       [1, 100, 100, 150, 150]], np.float32)
+    correct = process_batch(det, labels, iouv)
+    stats.append((correct, det[:, 4], det[:, 5], labels[:, 0]))
+    res = summarize(stats, names={0: "car", 1: "bus"})
+    assert len(res["per_class"]) == 2
+    row = {r["class"]: r for r in res["per_class"]}
+    assert row["car"]["map50"] > 0.99 and row["bus"]["labels"] == 1

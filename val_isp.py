@@ -67,6 +67,7 @@ def main(argv=None):
     save_dir = os.path.join(args.project, args.name)
     res = run_validation(
         cfg, agent, agent_vars, yolo, yolo_vars, ds,
+        class_names=data.get("names"),
         steps=args.steps, conf_thres=args.conf_thres,
         iou_thres=args.iou_thres, max_det=args.max_det,
         batch_size=args.batch_size, pipeline=args.pipeline,
@@ -75,6 +76,9 @@ def main(argv=None):
     print(f"{'Class':>22s}{'P':>11s}{'R':>11s}{'mAP50':>11s}{'mAP50-95':>11s}")
     print(f"{'all':>22s}{res['precision']:11.3g}{res['recall']:11.3g}"
           f"{res['map50']:11.3g}{res['map']:11.3g}")
+    for row in res.get("per_class", []):
+        print(f"{row['class']:>22s}{row['precision']:11.3g}"
+              f"{row['recall']:11.3g}{row['map50']:11.3g}{row['map']:11.3g}")
     print(res["speed"])
     return res
 
