@@ -47,26 +47,22 @@ def non_max_suppression(prediction, conf_thres: float = 0.25,
         cls_conf = x[:, 5:] * obj[:, None]  # conf = obj * cls
 
         if multi_label and nc > 1:
-            # every (box, class) pair is a candidate row
+            # every (box, class) pair is a candidate row; boxes/classes are
+            # gathered only for the top-k winners (gathering 20 MB of boxes
+            # for all n*nc pairs first cost ~5 ms at 512px/80 classes)
             scores = jnp.where(cand[:, None], cls_conf, 0.0).reshape(-1)
-            valid = scores > conf_thres
-            n_boxes = x.shape[0]
-            box_idx = jnp.arange(n_boxes * nc) // nc
-            cls_idx = (jnp.arange(n_boxes * nc) % nc).astype(jnp.float32)
-            boxes = box[box_idx]
+            k = min(max_nms, scores.shape[0])
+            top_scores, top_i = jax.lax.top_k(scores, k)
+            top_boxes = box[top_i // nc]
+            top_cls = (top_i % nc).astype(jnp.float32)
         else:
             best_cls = jnp.argmax(cls_conf, axis=1)
             scores = cls_conf[jnp.arange(x.shape[0]), best_cls]
             scores = jnp.where(cand, scores, 0.0)
-            valid = scores > conf_thres
-            cls_idx = best_cls.astype(jnp.float32)
-            boxes = box
-
-        scores = jnp.where(valid, scores, 0.0)
-        k = min(max_nms, scores.shape[0])
-        top_scores, top_i = jax.lax.top_k(scores, k)
-        top_boxes = boxes[top_i]
-        top_cls = cls_idx[top_i]
+            k = min(max_nms, scores.shape[0])
+            top_scores, top_i = jax.lax.top_k(scores, k)
+            top_boxes = box[top_i]
+            top_cls = best_cls[top_i].astype(jnp.float32)
         top_valid = top_scores > conf_thres
 
         # class offset: boxes of different classes never overlap
