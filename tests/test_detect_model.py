@@ -158,3 +158,40 @@ def test_yolo_state_dict_conversion_roundtrip():
          "batch_stats": jax.tree_util.tree_map(jnp.asarray, new_stats)},
         jnp.zeros((1, 64, 64, 3)), train=False)
     assert len(out) == 3
+
+
+def test_tiny_state_dict_conversion():
+    """Converter generality: v3-tiny (2 Detect levels, MaxPool/ZeroPad rows)."""
+    model, variables = create_detector(
+        jax.random.PRNGKey(1), spec=YOLOV3_TINY_SPEC, imgsz=64)
+    sd = {}
+
+    def emit_convbn(prefix, p, s):
+        sd[f"{prefix}.conv.weight"] = np.transpose(
+            np.asarray(p["conv"]["kernel"]), (3, 2, 0, 1))
+        sd[f"{prefix}.bn.weight"] = np.asarray(p["bn"]["scale"])
+        sd[f"{prefix}.bn.bias"] = np.asarray(p["bn"]["bias"])
+        sd[f"{prefix}.bn.running_mean"] = np.asarray(s["bn"]["mean"])
+        sd[f"{prefix}.bn.running_var"] = np.asarray(s["bn"]["var"])
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    for name, p in params.items():
+        i = int(name[1:].split("_")[0])
+        if "conv" in p:
+            emit_convbn(f"model.{i}", p, stats[name])
+        elif "m0" in p:
+            for lvl in range(2):
+                sd[f"model.{i}.m.{lvl}.weight"] = np.transpose(
+                    np.asarray(p[f"m{lvl}"]["kernel"]), (3, 2, 0, 1))
+                sd[f"model.{i}.m.{lvl}.bias"] = np.asarray(p[f"m{lvl}"]["bias"])
+
+    new_params, new_stats = C.convert_yolo_state_dict(sd, n_levels=2)
+    x = jnp.zeros((1, 64, 64, 3))
+    want = model.apply(variables, x, train=False)
+    got = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, new_params),
+         "batch_stats": jax.tree_util.tree_map(jnp.asarray, new_stats)},
+        x, train=False)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
