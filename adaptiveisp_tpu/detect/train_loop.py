@@ -1,0 +1,281 @@
+"""Epoch-level detector training orchestrator.
+
+Counterpart of the reference ultralytics fine-tune loop
+(/root/reference/yolov3/train.py:199-460): per-epoch warmup with the
+per-group bias-LR ramp (:291-302), optional multi-scale (:310-316), in-loop
+validation + fitness (:394-405), best/last checkpointing (:419-440), and
+EarlyStopping (:409-415).
+
+TPU adaptations (deliberate):
+  * the warmup interpolation is folded into optax schedules — three parameter
+    groups (bias / norm-scale / kernel) with the reference's ramps: bias LR
+    starts at warmup_bias_lr and anneals DOWN to lr0*lf, others ramp 0 ->
+    lr0*lf, momentum ramps warmup_momentum -> momentum;
+  * multi-scale draws from a small discrete size set (stride multiples in
+    the reference's 0.5-1.5x band) instead of a fresh random size per batch,
+    bounding XLA recompiles to len(sizes) cached executables;
+  * batches have static shapes (padded targets), so each size compiles once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from adaptiveisp_tpu.data.detector_dataset import DetectorDataset
+from adaptiveisp_tpu.detect.loss import LossHyp
+from adaptiveisp_tpu.detect.metrics import process_batch, summarize
+from adaptiveisp_tpu.detect.model import (
+    anchors_in_grid_units,
+    decode_predictions,
+)
+from adaptiveisp_tpu.detect.nms import non_max_suppression
+from adaptiveisp_tpu.detect.train_detector import (
+    DetTrainConfig,
+    DetTrainState,
+    EarlyStopping,
+    init_detector_train_state,
+    make_detector_train_step,
+)
+
+IOUV = np.linspace(0.5, 0.95, 10)
+
+
+def fitness_of(metrics: Dict[str, float]) -> float:
+    """0.1*mAP50 + 0.9*mAP (reference metrics.py:17-20)."""
+    return 0.1 * metrics["map50"] + 0.9 * metrics["map"]
+
+
+# --------------------------------------------------------------------------- #
+# Optimizer: 3 param groups with reference warmup ramps
+# --------------------------------------------------------------------------- #
+def _group_of(path) -> str:
+    name = path[-1].key
+    if name == "bias":
+        return "bias"
+    if name == "kernel":
+        return "kernel"
+    return "norm"  # BN scale/bias-free leftovers
+
+
+def make_warmup_optimizer(cfg: DetTrainConfig, steps_per_epoch: int):
+    """smart_optimizer groups + train.py:291-302 warmup semantics."""
+    nw = max(round(cfg.warmup_epochs * steps_per_epoch), 100)
+    total_epochs = cfg.epochs
+
+    def lf(step):
+        epoch = step / steps_per_epoch
+        return ((1 - jnp.cos(epoch * jnp.pi / total_epochs)) / 2
+                * (cfg.lrf - 1.0) + 1.0)
+
+    def lr_main(step):
+        target = cfg.lr0 * lf(step)
+        frac = jnp.clip(step / nw, 0.0, 1.0)
+        return target * frac
+
+    def lr_bias(step):
+        target = cfg.lr0 * lf(step)
+        frac = jnp.clip(step / nw, 0.0, 1.0)
+        return cfg.warmup_bias_lr + (target - cfg.warmup_bias_lr) * frac
+
+    def momentum(step):
+        frac = jnp.clip(step / nw, 0.0, 1.0)
+        return cfg.warmup_momentum + (cfg.momentum - cfg.warmup_momentum) * frac
+
+    def sgd(lr_fn):
+        return optax.inject_hyperparams(optax.sgd)(
+            learning_rate=lr_fn, momentum=momentum, nesterov=True)
+
+    tx = optax.multi_transform(
+        {
+            "kernel": optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay), sgd(lr_main)),
+            "norm": sgd(lr_main),
+            "bias": sgd(lr_bias),
+        },
+        lambda params: jax.tree_util.tree_map_with_path(
+            lambda p, _: _group_of(p), params),
+    )
+    return tx, lr_main
+
+
+# --------------------------------------------------------------------------- #
+# In-loop validation
+# --------------------------------------------------------------------------- #
+def validate_detector(model, variables, dataset: DetectorDataset, spec,
+                      conf_thres: float = 0.001, iou_thres: float = 0.6,
+                      max_det: int = 300, max_nms: int = 4096,
+                      max_batches: Optional[int] = None) -> Dict[str, float]:
+    """EMA-weights val pass: forward -> decode -> NMS -> matching -> mAP
+    (reference train.py:394-405 -> val.run)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def forward(vars_, images):
+        preds = model.apply(vars_, images, train=False)
+        dec = decode_predictions(preds, spec)
+        return non_max_suppression(
+            dec, conf_thres=conf_thres, iou_thres=iou_thres,
+            max_det=max_det, max_nms=max_nms, multi_label=True)
+
+    stats = []
+    for bi, (images, targets, tmask) in enumerate(
+            dataset.epoch_batches(shuffle=False)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        det, nvalid = forward(variables, jnp.asarray(images))
+        det = np.asarray(det)
+        nvalid = np.asarray(nvalid)
+        h, w = images.shape[1:3]
+        for i in range(images.shape[0]):
+            d = det[i][:int(nvalid[i])]
+            lb = targets[i][tmask[i]]
+            gt = np.zeros((len(lb), 5), np.float32)
+            if len(lb):
+                gt[:, 0] = lb[:, 0]
+                gt[:, 1] = (lb[:, 1] - lb[:, 3] / 2) * w
+                gt[:, 2] = (lb[:, 2] - lb[:, 4] / 2) * h
+                gt[:, 3] = (lb[:, 1] + lb[:, 3] / 2) * w
+                gt[:, 4] = (lb[:, 2] + lb[:, 4] / 2) * h
+            correct = process_batch(d, gt, IOUV)
+            stats.append((correct, d[:, 4], d[:, 5], gt[:, 0]))
+    return summarize(stats)
+
+
+# --------------------------------------------------------------------------- #
+# The orchestrator
+# --------------------------------------------------------------------------- #
+@dataclasses.dataclass
+class EpochLog:
+    epoch: int
+    loss: float
+    lr: float
+    metrics: Dict[str, float]
+    fitness: float
+    seconds: float
+
+
+class DetectorTrainer:
+    """Runs epochs end-to-end; reference yolov3/train.py loop shape."""
+
+    def __init__(self, model, variables, spec, train_ds: DetectorDataset,
+                 val_ds: Optional[DetectorDataset] = None,
+                 cfg: Optional[DetTrainConfig] = None,
+                 hyp: Optional[LossHyp] = None,
+                 save_dir: Optional[str] = None,
+                 multi_scale: bool = False,
+                 val_batches: Optional[int] = None):
+        self.model = model
+        self.spec = spec
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.cfg = cfg or DetTrainConfig()
+        self.steps_per_epoch = max(1, len(train_ds) // train_ds.batch_size)
+        imgsz = train_ds.img_size
+        self.hyp = hyp or LossHyp(obj=1.0 * (imgsz / 640) ** 2)
+        self.save_dir = save_dir
+        self.val_batches = val_batches
+
+        self.tx, self._lr_fn = make_warmup_optimizer(
+            self.cfg, self.steps_per_epoch)
+        step_fn = make_detector_train_step(
+            model, anchors_in_grid_units(spec), self.hyp, self.tx,
+            ema_decay=self.cfg.ema_decay)
+        self.step_fn = jax.jit(step_fn)
+        self.state = init_detector_train_state(variables, self.tx)
+        self.stopper = EarlyStopping(self.cfg.patience)
+        self.best_fitness = 0.0
+        self.history: List[EpochLog] = []
+
+        # multi-scale: discrete stride-multiple sizes in the reference's
+        # 0.5-1.5x band (train.py:310-316); each size compiles once.
+        self.sizes = [imgsz]
+        if multi_scale:
+            s = train_ds.stride
+            self.sizes = sorted({
+                int(round(imgsz * f / s)) * s for f in (0.75, 1.0, 1.25)})
+        self._ms_rng = np.random.RandomState(0)
+
+    # ------------------------------------------------------------------ #
+    def _maybe_rescale(self, images: np.ndarray) -> np.ndarray:
+        if len(self.sizes) == 1:
+            return images
+        size = int(self._ms_rng.choice(self.sizes))
+        if size == images.shape[1]:
+            return images
+        x = jnp.asarray(images)
+        x = jax.image.resize(
+            x, (x.shape[0], size, size, x.shape[3]), method="bilinear")
+        return np.asarray(x)
+
+    def train_epoch(self, epoch: int) -> float:
+        losses = []
+        for images, targets, tmask in self.train_ds.epoch_batches():
+            images = self._maybe_rescale(images)
+            self.state, out = self.step_fn(
+                self.state, jnp.asarray(images), jnp.asarray(targets),
+                jnp.asarray(tmask))
+            losses.append(float(out["loss"]))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def _ema_variables(self):
+        return {"params": self.state.ema.params,
+                "batch_stats": self.state.batch_stats}
+
+    def _save(self, name: str, epoch: int, fit: float):
+        if self.save_dir is None:
+            return
+        os.makedirs(self.save_dir, exist_ok=True)
+        payload = {
+            "epoch": epoch,
+            "best_fitness": self.best_fitness,
+            "model": jax.device_get({"params": self.state.params,
+                                     "batch_stats": self.state.batch_stats}),
+            "ema": jax.device_get(self.state.ema.params),
+            "updates": int(jax.device_get(self.state.ema.updates)),
+            "fitness": fit,
+        }
+        with open(os.path.join(self.save_dir, name), "wb") as f:
+            pickle.dump(payload, f)
+
+    def fit(self, epochs: Optional[int] = None) -> List[EpochLog]:
+        """The epoch loop: train -> val -> ckpt best/last -> early stop
+        (reference train.py:276-446)."""
+        epochs = epochs or self.cfg.epochs
+        for epoch in range(epochs):
+            t0 = time.time()
+            loss = self.train_epoch(epoch)
+
+            metrics = {"precision": 0.0, "recall": 0.0, "map50": 0.0,
+                       "map": 0.0}
+            if self.val_ds is not None:
+                metrics = validate_detector(
+                    self.model, self._ema_variables(), self.val_ds,
+                    self.spec, max_batches=self.val_batches)
+            fit = fitness_of(metrics)
+
+            if fit >= self.best_fitness:
+                self.best_fitness = fit
+                self._save("best.pkl", epoch, fit)
+            self._save("last.pkl", epoch, fit)
+
+            lr_now = float(self._lr_fn(int(jax.device_get(self.state.step))))
+            log = EpochLog(epoch, loss, lr_now, metrics, fit,
+                           time.time() - t0)
+            self.history.append(log)
+            if self.stopper(epoch, fit):
+                break
+        return self.history
+
+
+def load_detector_checkpoint(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)

@@ -12,6 +12,7 @@ Prints ONE JSON line:
 Extra diagnostics go to stderr.
 """
 
+import functools
 import json
 import sys
 import time
@@ -138,11 +139,80 @@ def bench_cpu_reference_proxy(size=512, iters=3):
     return mpix
 
 
+def bench_adaptive_inference(size=512, steps=5, iters=16):
+    """BASELINE config 2: batch-1 adaptive inference — 5-step agent rollout
+    (switch render) + YOLOv3 forward + decode + NMS, ms/img marginal device
+    time (val_adaptiveisp.py protocol: conf 0.001, iou 0.6, max_det 300,
+    multi_label)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptiveisp_tpu.config import Config
+    from adaptiveisp_tpu.detect.model import create_detector, \
+        decode_predictions
+    from adaptiveisp_tpu.detect.nms import non_max_suppression
+    from adaptiveisp_tpu.policy.agent import create_agent_state
+    from adaptiveisp_tpu.policy.states import get_initial_states
+
+    cfg = Config()
+    ka, ky = jax.random.split(jax.random.PRNGKey(0))
+    agent, agent_vars = create_agent_state(cfg, ka, image_size=size, batch=1)
+    yolo, yolo_vars = create_detector(ky, imgsz=256)
+
+    rng = np.random.RandomState(0)
+    noises = jnp.asarray(rng.rand(steps, 1, cfg.z_dim).astype(np.float32))
+    states0 = jnp.asarray(get_initial_states(1, cfg.num_state_dim))
+
+    # variables are ARGUMENTS, never closure constants: a closed-over YOLOv3
+    # bakes ~60M weights into the HLO and the tunneled remote-compile
+    # endpoint rejects the payload (HTTP 413).
+    def one_image(avars, yvars, img):
+        st, stop = states0, jnp.zeros((1,), jnp.float32)
+
+        def body(carry, z):
+            im, st, stop = carry
+            out, new_st, _, _, _, info = agent.apply(
+                avars, im, z, st, 1.0, train=False,
+                selected_filter_id=jnp.int32(-1), render="switch")
+            keep = stop[:, None, None, None] > 0
+            im = jnp.where(keep, im, out)
+            st = jnp.where(stop[:, None] > 0, st, new_st)
+            stop = jnp.maximum(stop, st[:, 1])
+            return (im, st, stop), None
+
+        (im, _, _), _ = jax.lax.scan(body, (img, st, stop), noises)
+        preds = yolo.apply(yvars, im, train=False)
+        dec = decode_predictions(preds)
+        det, n = non_max_suppression(dec, conf_thres=0.001, iou_thres=0.6,
+                                     max_det=300, multi_label=True)
+        # chain dependency: feed retouched image (+0*det) to next iter
+        return im + 0.0 * det.sum()
+
+    def run_n(n):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run(avars, yvars, x, n):
+            return jax.lax.fori_loop(
+                0, n, lambda i, x: one_image(avars, yvars, x), x).mean()
+
+        float(run(agent_vars, yolo_vars, img0, n=n))  # compile + warm
+        t0 = time.perf_counter()
+        float(run(agent_vars, yolo_vars, img0, n=n))
+        return time.perf_counter() - t0
+
+    img0 = jnp.asarray(rng.rand(1, size, size, 3).astype(np.float32))
+    short, long = max(1, iters // 4), iters
+    t_short, t_long = run_n(short), run_n(long)
+    dt = (t_long - t_short) / (long - short)
+    log(f"adaptive inference: {dt * 1e3:.2f} ms/img "
+        f"({steps}-step switch rollout + YOLOv3 + NMS, batch 1 @ {size}px)")
+    return dt
+
+
 def bench_train_step(batch=8, imgsz=512):
-    """RL train step throughput (BASELINE config 4).  Opt-in via --full:
-    the full-YOLOv3 train graph takes ~5 min to compile through the
-    tunneled remote-compile service.  Measured: ~113 ms/step (8.8 steps/s)
-    at batch 8 @ 512px on one v5e chip."""
+    """RL train step throughput (BASELINE config 4).  The full-YOLOv3 train
+    graph takes ~5 min to compile through the tunneled remote-compile
+    service.  Measured: ~113 ms/step (8.8 steps/s) at batch 8 @ 512px on
+    one v5e chip."""
     import jax
     import jax.numpy as jnp
 
@@ -196,15 +266,25 @@ def bench_train_step(batch=8, imgsz=512):
 
 
 def main():
-    full = "--full" in sys.argv
+    # --quick limits the run to the render metric; the default is the full
+    # BASELINE.md primary-metric set (VERDICT r1 #7).
+    quick = "--quick" in sys.argv
+    extras = {}
     tpu = bench_tpu_render()
     try:
-        bench_nlm()
+        t_pallas, t_xla = bench_nlm()
+        extras["nlm_pallas_ms"] = round(t_pallas * 1e3, 3)
+        extras["nlm_xla_ms"] = round(t_xla * 1e3, 3)
     except Exception as e:  # secondary metric must not break the bench line
         log(f"NLM bench skipped: {e}")
-    if full:
+    if not quick:
         try:
-            bench_train_step()
+            extras["adaptive_inference_ms_img"] = round(
+                bench_adaptive_inference() * 1e3, 3)
+        except Exception as e:
+            log(f"adaptive-inference bench skipped: {e}")
+        try:
+            extras["train_steps_per_sec"] = round(1.0 / bench_train_step(), 3)
         except Exception as e:
             log(f"train-step bench skipped: {e}")
     cpu = bench_cpu_reference_proxy()
@@ -213,6 +293,7 @@ def main():
         "value": round(tpu, 2),
         "unit": "MPix/s/chip",
         "vs_baseline": round(tpu / cpu, 2),
+        "extras": extras,
     }))
 
 
