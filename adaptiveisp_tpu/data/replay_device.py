@@ -17,12 +17,20 @@ semantics:
 
 Device ops are jitted gathers/scatters; host<->device traffic per step is
 the fresh-RAW uploads only (zero in steady state when trajectories persist).
+
+Multi-chip: pass a DP `mesh` and the pool array is sharded over the 'data'
+axis — shard s owns pool slots [s*P/n, (s+1)*P/n).  Sampling draws
+batch/n_shards slots from every shard's own range, so the gathered batch is
+born sharded over the data axis and gathers/scatters stay shard-local
+(shard_map, zero collectives).  Uneven write-back groups are padded with
+out-of-range indices that `.at[].set(mode='drop')` discards.
 """
 
 from __future__ import annotations
 
+import functools
 import random
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,13 +55,45 @@ def _scatter(pool, idx, values):
     return pool.at[idx].set(values)
 
 
+def _make_sharded_ops(mesh):
+    """Shard-local gather/scatter over a pool sharded on the data axis.
+
+    Indices are shard-LOCAL (relative to the shard's slice); out-of-range
+    indices in scatter are dropped (used to pad uneven per-shard groups)."""
+    from jax.sharding import PartitionSpec as P
+
+    spec_pool = P(mesh.axis_names[0], *([None] * 3))
+    spec_vec = P(mesh.axis_names[0])
+
+    def gather_local(pool, idx):
+        return jnp.take(pool, idx, axis=0, mode="fill", fill_value=0.0)
+
+    def scatter_local(pool, idx, values):
+        return pool.at[idx].set(values, mode="drop")
+
+    gather = jax.jit(jax.shard_map(
+        gather_local, mesh=mesh, in_specs=(spec_pool, spec_vec),
+        out_specs=spec_pool))
+    scatter = jax.jit(jax.shard_map(
+        scatter_local, mesh=mesh, in_specs=(spec_pool, spec_vec, spec_pool),
+        out_specs=spec_pool))
+    return gather, scatter
+
+
 class DeviceReplayMemory:
     def __init__(self, cfg, dataset: ISPDataset, batch_size: int,
                  feeder_batch: int = 32, seed: int = 0,
-                 prefetch: bool = True):
+                 prefetch: bool = True, mesh=None):
         self.cfg = cfg
         self.batch_size = batch_size
         self.pool_size = cfg.replay_memory_size
+        self.mesh = mesh
+        self.n_shards = 1 if mesh is None else mesh.devices.size
+        if self.pool_size % self.n_shards:
+            raise ValueError(
+                f"replay_memory_size {self.pool_size} must divide evenly "
+                f"over {self.n_shards} mesh shards")
+        self.shard_size = self.pool_size // self.n_shards
         self.feeder = BatchFeeder(dataset, batch_size=feeder_batch,
                                   prefetch=prefetch, seed=seed)
         self.rng = np.random.RandomState(seed + 1)
@@ -72,19 +112,51 @@ class DeviceReplayMemory:
         images = images[:self.pool_size]
         self.meta = self.meta[:self.pool_size]
         self.images = jnp.asarray(np.stack(images, 0))  # [P, H, W, 3] device
+        if mesh is not None:
+            from adaptiveisp_tpu.train.mesh import data_sharding
+
+            self._data_sharding = functools.partial(data_sharding, mesh)
+            self.images = jax.device_put(
+                self.images, self._data_sharding(self.images.ndim))
+            self._sh_gather, self._sh_scatter = _make_sharded_ops(mesh)
         self.states = get_initial_states(self.pool_size, cfg.num_state_dim)
 
     # ------------------------------------------------------------------ #
     def sample(self, batch_size: int):
         """Pick non-stopped slots; returns (slot_idx, device_images,
-        states, labels, paths, shapes, z)."""
-        live = np.where(self.states[:, STATE_STOPPED_DIM] != 1)[0]
-        if len(live) < batch_size:
-            self._refresh_slots(
-                np.where(self.states[:, STATE_STOPPED_DIM] == 1)[0])
+        states, labels, paths, shapes, z).
+
+        With a mesh, batch_size/n_shards slots come from each pool shard's
+        own slot range so the gathered images are born data-sharded."""
+        if self.mesh is None:
             live = np.where(self.states[:, STATE_STOPPED_DIM] != 1)[0]
-        idx = self.rng.choice(live, size=batch_size, replace=False)
-        imgs = _gather(self.images, jnp.asarray(idx))
+            if len(live) < batch_size:
+                self._refresh_slots(
+                    np.where(self.states[:, STATE_STOPPED_DIM] == 1)[0])
+                live = np.where(self.states[:, STATE_STOPPED_DIM] != 1)[0]
+            idx = self.rng.choice(live, size=batch_size, replace=False)
+            imgs = _gather(self.images, jnp.asarray(idx))
+        else:
+            if batch_size % self.n_shards:
+                raise ValueError(f"batch {batch_size} must divide over "
+                                 f"{self.n_shards} shards")
+            bps = batch_size // self.n_shards
+            stopped = self.states[:, STATE_STOPPED_DIM] == 1
+            picks = []
+            for s in range(self.n_shards):
+                lo = s * self.shard_size
+                hi = lo + self.shard_size
+                live = lo + np.where(~stopped[lo:hi])[0]
+                if len(live) < bps:
+                    self._refresh_slots(lo + np.where(stopped[lo:hi])[0])
+                    stopped = self.states[:, STATE_STOPPED_DIM] == 1
+                    live = lo + np.where(~stopped[lo:hi])[0]
+                picks.append(self.rng.choice(live, size=bps, replace=False))
+            idx = np.concatenate(picks)
+            local = jax.device_put(
+                jnp.asarray(idx % self.shard_size, jnp.int32),
+                self._data_sharding(1))
+            imgs = self._sh_gather(self.images, local)
         labels = [self.meta[i]["label"] for i in idx]
         paths = [self.meta[i]["path"] for i in idx]
         shapes = [self.meta[i]["shape"] for i in idx]
@@ -111,10 +183,21 @@ class DeviceReplayMemory:
                 keep.append(pos)
         if keep:
             keep_pos = np.asarray(keep)
-            slots = jnp.asarray(idx[keep_pos])
-            self.images = _scatter(self.images, slots,
-                                   _gather(retouch_device,
-                                           jnp.asarray(keep_pos)))
+            if self.mesh is None:
+                slots = jnp.asarray(idx[keep_pos])
+                self.images = _scatter(self.images, slots,
+                                       _gather(retouch_device,
+                                               jnp.asarray(keep_pos)))
+            else:
+                # batch position p was drawn from shard p // bps, so kept
+                # rows already live on the right shard; dropped rows get an
+                # out-of-range local index that mode='drop' discards
+                local = np.full((len(idx),), self.shard_size, np.int32)
+                local[keep_pos] = idx[keep_pos] % self.shard_size
+                local = jax.device_put(jnp.asarray(local),
+                                       self._data_sharding(1))
+                self.images = self._sh_scatter(self.images, local,
+                                               retouch_device)
             self.states[idx[keep_pos]] = new_states[keep_pos]
         if refresh:
             self._refresh_slots(np.asarray(refresh))
@@ -132,8 +215,31 @@ class DeviceReplayMemory:
                     "label": b["label"][i], "path": b["path"][i],
                     "shape": b["shape"][i]}))
         fresh_imgs = fresh_imgs[:len(slots)]
-        stack = jnp.asarray(np.stack([f[0] for f in fresh_imgs], 0))
-        self.images = _scatter(self.images, jnp.asarray(slots), stack)
+        stack = np.stack([f[0] for f in fresh_imgs], 0)
+        if self.mesh is None:
+            self.images = _scatter(self.images, jnp.asarray(slots),
+                                   jnp.asarray(stack))
+        else:
+            # group by shard, pad every shard's group to the max count with
+            # an out-of-range index (dropped) + a zero image row
+            shard_of = slots // self.shard_size
+            m = max(int(np.max(np.bincount(shard_of,
+                                           minlength=self.n_shards))), 1)
+            local = np.full((self.n_shards, m), self.shard_size, np.int32)
+            vals = np.zeros((self.n_shards, m) + stack.shape[1:],
+                            stack.dtype)
+            fill = np.zeros((self.n_shards,), np.int32)
+            for row, slot in enumerate(slots):
+                s = slot // self.shard_size
+                local[s, fill[s]] = slot % self.shard_size
+                vals[s, fill[s]] = stack[row]
+                fill[s] += 1
+            local = jax.device_put(jnp.asarray(local.reshape(-1)),
+                                   self._data_sharding(1))
+            vals = jax.device_put(
+                jnp.asarray(vals.reshape((-1,) + stack.shape[1:])),
+                self._data_sharding(stack.ndim))
+            self.images = self._sh_scatter(self.images, local, vals)
         for slot, (_, meta) in zip(slots, fresh_imgs):
             self.meta[slot] = meta
         self.states[slots] = get_initial_states(len(slots),

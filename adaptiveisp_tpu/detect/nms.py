@@ -7,8 +7,16 @@ so this NMS:
   * expands multi-label (box, class) pairs statically,
   * keeps the top `max_nms` by score,
   * offsets boxes by class * max_wh (the class-offset trick, general.py:944),
-  * greedily selects up to `max_det` boxes with an O(max_det * max_nms)
-    suppression loop under `lax.fori_loop`.
+  * runs BLOCKED greedy suppression: score-sorted boxes are processed in
+    blocks of `block` rows; each block is resolved with an intra-block
+    Jacobi fixpoint ([block, block] — VMEM-sized), then its kept boxes
+    suppress all later rows in one [block, k] sweep.  The block loop
+    early-exits once `max_det` boxes are kept — later blocks have strictly
+    lower scores, so they can never enter the top-max_det output, which
+    keeps the early exit EXACT.  This bounds the worst case (long
+    suppression chains made the former global [k, k] fixpoint take
+    O(chain-depth) full-matrix sweeps) and makes the typical eval case
+    touch only the first block.
 
 Returns padded [N, max_det, 6] (xyxy, conf, cls) plus a validity count —
 semantically equal to the reference output for every box above threshold.
@@ -29,11 +37,11 @@ MAX_WH = 7680.0
 @functools.partial(
     jax.jit,
     static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms",
-                     "multi_label", "agnostic"))
+                     "multi_label", "agnostic", "block"))
 def non_max_suppression(prediction, conf_thres: float = 0.25,
                         iou_thres: float = 0.45, max_det: int = 300,
                         max_nms: int = 4096, multi_label: bool = False,
-                        agnostic: bool = False):
+                        agnostic: bool = False, block: int = 512):
     """prediction: [N, n_boxes, 5+nc] decoded (xywh, obj, cls-probs).
 
     Returns (detections [N, max_det, 6], n_valid [N]).
@@ -68,28 +76,58 @@ def non_max_suppression(prediction, conf_thres: float = 0.25,
         # class offset: boxes of different classes never overlap
         offset = jnp.where(agnostic, 0.0, top_cls * MAX_WH)
         off_boxes = top_boxes + offset[:, None]
-        iou = box_iou(off_boxes, off_boxes)  # [k, k]
 
-        # Greedy NMS semantics — keep[i] iff no higher-scoring KEPT box
-        # overlaps i — computed as a parallel Jacobi fixpoint instead of a
-        # k-step sequential scan (22.8 -> ~1 ms at k=4096 on v5e).  Each
-        # sweep fixes one more level of the suppression DAG; chains are
-        # short in practice and the while_loop runs to exact convergence.
-        row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-        sup_edge = (iou > iou_thres) & (col < row)  # j suppresses i if kept
+        # ---- blocked greedy suppression over score-sorted rows ----
+        bsz = min(block, k)
+        nb = -(-k // bsz)
+        kp = nb * bsz
+        pad = kp - k
+        boxes_p = jnp.pad(off_boxes, ((0, pad), (0, 0)))
+        alive0 = jnp.pad(top_valid, (0, pad))
 
-        def cond(state):
-            keep, prev, it = state
-            return jnp.logical_and(it < k, jnp.any(keep != prev))
+        col_k = jnp.arange(kp, dtype=jnp.int32)
+        row_b = jax.lax.broadcasted_iota(jnp.int32, (bsz, bsz), 0)
+        col_b = jax.lax.broadcasted_iota(jnp.int32, (bsz, bsz), 1)
+        lower = col_b < row_b
 
-        def body(state):
-            keep, _, it = state
-            suppressed = jnp.any(sup_edge & keep[None, :], axis=1)
-            return (top_valid & ~suppressed, keep, it + 1)
+        def blk_cond(state):
+            alive, n_kept, it = state
+            return jnp.logical_and(it < nb, n_kept < max_det)
 
-        keep, _, _ = jax.lax.while_loop(
-            cond, body, (top_valid, jnp.zeros_like(top_valid), 0))
+        def blk_body(state):
+            alive, n_kept, it = state
+            start = it * bsz
+            blk_boxes = jax.lax.dynamic_slice(boxes_p, (start, 0), (bsz, 4))
+            blk_alive = jax.lax.dynamic_slice(alive, (start,), (bsz,))
+
+            # intra-block greedy via Jacobi fixpoint; the matrix is tiny
+            # ([block, block]) so even deep chains converge cheaply
+            sup_edge = (box_iou(blk_boxes, blk_boxes) > iou_thres) & lower
+
+            def fcond(s):
+                kb, prev, i = s
+                return jnp.logical_and(i < bsz, jnp.any(kb != prev))
+
+            def fbody(s):
+                kb, _, i = s
+                suppressed = jnp.any(sup_edge & kb[None, :], axis=1)
+                return (blk_alive & ~suppressed, kb, i + 1)
+
+            keep_blk, _, _ = jax.lax.while_loop(
+                fcond, fbody, (blk_alive, jnp.zeros_like(blk_alive), 0))
+
+            # kept boxes of this block suppress every later row at once
+            iou_bk = box_iou(blk_boxes, boxes_p)  # [bsz, kp]
+            sup = jnp.any((iou_bk > iou_thres) & keep_blk[:, None], axis=0)
+            alive = alive & ~(sup & (col_k >= start + bsz))
+            alive = jax.lax.dynamic_update_slice(alive, keep_blk, (start,))
+            return alive, n_kept + keep_blk.sum(), it + 1
+
+        alive, _, it_end = jax.lax.while_loop(
+            blk_cond, blk_body, (alive0, jnp.int32(0), jnp.int32(0)))
+        # rows in unprocessed blocks (early exit) are excluded: >= max_det
+        # higher-scoring boxes are already kept, so they can't be output
+        keep = (alive & (col_k < it_end * bsz))[:k]
 
         # Order: survivors by score (already sorted), pad to max_det
         keep_scores = jnp.where(keep, top_scores, -1.0)

@@ -73,20 +73,33 @@ def adaptive_rollout(agent, variables, image, noises, states,
 
 
 def jit_rollout(agent, steps: int, record_steps: bool = False,
-                render: str = "blend"):
+                render: str = "blend", early_exit: bool = True):
     """jit wrapper with static step count/render mode.
 
     The returned fn takes an optional [steps] int32 pipeline array (entries
     -1 = agent's choice) so forced pipelines recompile nothing.
+
+    early_exit: once EVERY sample in the batch has its stopped bit set, the
+    remaining scan steps skip the agent forward entirely via a scalar
+    lax.cond — the on-device analog of the reference's per-image ``break``
+    (val_adaptiveisp.py:307-309).  Image/state/selected/params outputs are
+    bit-identical (a stopped step emits sel=-1 and keeps image/state frozen
+    anyway); only `pdfs` differs on fully-stopped steps (zeros instead of
+    the frozen-state pdf, which nothing consumes).  This is
+    free latency for batch-1 eval whenever the agent stops before step 5,
+    and costs no host round-trip.
     """
+    from adaptiveisp_tpu.ops.bank import param_offsets
+
+    n_filters = agent.cfg.n_filters
+    n_params_total = param_offsets(agent.cfg)[-1][1]
 
     def fn(variables, image, noises, states, pipeline_arr):
         n = image.shape[0]
         stopped0 = jnp.zeros((n,), jnp.float32)
 
-        def body(carry, inp):
+        def step_active(carry, z, forced):
             img, st, stop = carry
-            z, forced = inp
             out, new_states, _, _, _, info = agent.apply(
                 variables, img, z, st, 1.0, train=False,
                 selected_filter_id=forced, render=render)
@@ -98,9 +111,26 @@ def jit_rollout(agent, steps: int, record_steps: bool = False,
             params = jnp.concatenate(
                 [p.reshape(p.shape[0], -1) for p in info["filter_params"]],
                 axis=-1)
-            ys = (sel, info["pdf"], params,
-                  img_new if record_steps else None)
-            return (img_new, st_new, new_stop), ys
+            return (img_new, st_new, new_stop), (sel, info["pdf"], params)
+
+        def step_stopped(carry):
+            img, st, stop = carry
+            return carry, (jnp.full((n,), -1, jnp.int32),
+                           jnp.zeros((n, n_filters), img.dtype),
+                           jnp.zeros((n, n_params_total), img.dtype))
+
+        def body(carry, inp):
+            z, forced = inp
+            if early_exit:
+                new_carry, (sel, pdf, params) = jax.lax.cond(
+                    jnp.all(carry[2] > 0),
+                    lambda c, _z, _f: step_stopped(c),
+                    step_active, carry, z, forced)
+            else:
+                new_carry, (sel, pdf, params) = step_active(carry, z, forced)
+            ys = (sel, pdf, params,
+                  new_carry[0] if record_steps else None)
+            return new_carry, ys
 
         (img, st, _), (sels, pdfs, params, imgs) = jax.lax.scan(
             body, (image, states, stopped0), (noises, pipeline_arr))

@@ -44,13 +44,20 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                    save_json: bool = False, anno_json: Optional[str] = None,
                    noise_seed: int = 0, max_images: int = -1,
                    render: str = "auto", yolo_spec=None, mesh=None,
-                   class_names=None) -> Dict:
+                   class_names=None, profile: bool = False) -> Dict:
     """Returns {'precision', 'recall', 'map50', 'map', 'speed', 'records'}.
 
     render="auto" picks the switch path (renders only the selected filter —
     exact whenever the whole batch shares one action) for batch_size 1 or a
     forced pipeline, else the one-hot blend; measured 2.5x faster per image
     at the reference eval protocol (batch 1, 5 steps, 512px).
+
+    The host loop is software-pipelined (double-buffered): batch k+1 is
+    dispatched to the device before batch k's results are fetched, so host
+    post-processing (scale_boxes / process_batch / artifact dumps) overlaps
+    device compute and nothing pays a per-bucket device sync.  Pass
+    profile=True to restore synchronous per-bucket timing for kernel
+    attribution (the reference Profile semantics, val_adaptiveisp.py:254).
     """
     if render == "auto":
         render = ("switch" if batch_size == 1 or pipeline is not None
@@ -78,8 +85,8 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
             os.makedirs(os.path.join(save_dir, "param_results"),
                         exist_ok=True)
 
-    profiles = {"pre": Profile(), "inference": Profile(sync=True),
-                "nms": Profile(sync=True)}
+    profiles = {"pre": Profile(), "inference": Profile(sync=profile),
+                "nms": Profile(sync=profile), "post": Profile()}
     stats = []
     records = []
     coco_records = []
@@ -99,8 +106,8 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
             wpred, conf_thres=conf_thres, iou_thres=iou_thres,
             max_det=max_det, multi_label=True)[1])
 
-    for start in range(0, n_total, batch_size):
-        idx = list(range(start, min(start + batch_size, n_total)))
+    def dispatch(idx):
+        """Host prep + async device dispatch for one batch (no fetch)."""
         with profiles["pre"]:
             batch = collate([dataset[i] for i in idx])
             im = jnp.asarray(batch["im"])
@@ -126,10 +133,20 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
             dets, nvalid = non_max_suppression(
                 preds, conf_thres=conf_thres, iou_thres=iou_thres,
                 max_det=max_det, multi_label=True)
-            dets = np.asarray(jax.device_get(dets))
-            nvalid = np.asarray(jax.device_get(nvalid))
+        return batch, nb, (im.shape[1], im.shape[2]), res, dets, nvalid
 
-        sels = np.asarray(res.selected)  # [steps, nb]
+    def consume(work):
+        batch, nb, (h, w), res, dets_d, nvalid_d = work
+        with profiles["post"]:
+            # one consolidated fetch for everything the host needs
+            dets, nvalid, sels = jax.device_get(
+                (dets_d, nvalid_d, res.selected))
+            dets = np.asarray(dets)
+            nvalid = np.asarray(nvalid)
+            sels = np.asarray(sels)  # [steps, nb]
+        _postprocess(batch, nb, h, w, dets, nvalid, sels, res)
+
+    def _postprocess(batch, nb, h, w, dets, nvalid, sels, res):
         for bi in range(nb):
             path = batch["path"][bi]
             (h0, w0), ((rh, rw), pad) = batch["shape"][bi]
@@ -165,7 +182,6 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
 
             det = dets[bi][:int(nvalid[bi])].copy()
             labels = batch["label"][bi]  # [n, 6] (idx, cls, xywhn)
-            h, w = im.shape[1], im.shape[2]
             lab = labels[:, 1:].copy()
             if lab.size:
                 lab[:, 1:5] = np.asarray(
@@ -187,11 +203,28 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                 from adaptiveisp_tpu.eval.coco_json import (
                     COCO80_TO_91, detections_to_coco)
 
-                coco_records += detections_to_coco(
-                    path, det, class_map=COCO80_TO_91)
+                coco_records.extend(detections_to_coco(
+                    path, det, class_map=COCO80_TO_91))
+
+    # double-buffered drive: dispatch batch k+1 before consuming batch k so
+    # the host post-processing overlaps device compute (VERDICT round-1 #5)
+    import time
+
+    t_wall0 = time.perf_counter()
+    pending = None
+    for start in range(0, n_total, batch_size):
+        idx = list(range(start, min(start + batch_size, n_total)))
+        work = dispatch(idx)
+        if pending is not None:
+            consume(pending)
+        pending = work
+    if pending is not None:
+        consume(pending)
+    wall_s = time.perf_counter() - t_wall0
 
     result = summarize(stats, names=class_names)
     result["speed"] = speed_report(profiles, n_total)
+    result["wall_ms_per_img"] = 1000.0 * wall_s / max(n_total, 1)
     result["records"] = records
     if save_dir:
         with open(os.path.join(save_dir, "records.txt"), "w") as f:

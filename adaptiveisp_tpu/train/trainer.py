@@ -81,14 +81,15 @@ class Trainer:
             noise_level=tcfg.noise_level, use_linear=tcfg.use_linear)
         # device_replay keeps the image pool in HBM (SURVEY §7): per-step
         # host traffic drops from 2x ~25 MB (batch down + up) to fresh-RAW
-        # uploads only.  Single-device pools only (the DP path keeps the
-        # host pool so batches shard over the mesh).
+        # uploads only.  With a mesh the pool is sharded over the data axis
+        # (per-shard sampling + shard-local scatters), so multi-chip
+        # training keeps the device-pool win.
         self.device_replay = None
-        if device_replay and mesh is None:
+        if device_replay:
             from adaptiveisp_tpu.data.replay_device import DeviceReplayMemory
 
             self.device_replay = DeviceReplayMemory(
-                cfg, train_ds, tcfg.batch_size, seed=tcfg.seed)
+                cfg, train_ds, tcfg.batch_size, seed=tcfg.seed, mesh=mesh)
             self.replay = self.device_replay  # stats/stop interface
         else:
             self.replay = ReplayMemory(cfg, train_ds, tcfg.batch_size,
@@ -175,8 +176,12 @@ class Trainer:
                 idx, imgs_dev, states_np, labels, paths, shapes, z = (
                     self.device_replay.sample(tcfg.batch_size))
                 targets, tmask = pad_targets(labels, self.t_max)
-                batch = (imgs_dev, jnp.asarray(z), jnp.asarray(states_np),
-                         jnp.asarray(targets), jnp.asarray(tmask))
+                rest = (jnp.asarray(z), jnp.asarray(states_np),
+                        jnp.asarray(targets), jnp.asarray(tmask))
+                if self.mesh is not None:
+                    # images are already data-sharded by the pool gather
+                    rest = mesh_lib.shard_batch(self.mesh, rest)
+                batch = (imgs_dev,) + rest
             else:
                 feed = self.replay.get_feed_dict_and_states(tcfg.batch_size)
                 batch = self._device_batch(feed)

@@ -208,6 +208,79 @@ def test_device_replay_memory(toy_dataset_dir):
     mem.stop()
 
 
+def test_device_replay_memory_sharded_mesh(toy_dataset_dir):
+    """Pool sharded over a 4-device DP mesh: per-shard sampling, shard-local
+    write-back, refresh across uneven shard groups (VERDICT r1 #6)."""
+    import jax
+    import jax.numpy as jnp
+    from adaptiveisp_tpu.data.replay_device import DeviceReplayMemory
+    from adaptiveisp_tpu.train.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    ds = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                    cache_labels=False)
+    mem = DeviceReplayMemory(CFG, ds, batch_size=4, feeder_batch=4,
+                             prefetch=False, seed=0, mesh=mesh)
+    assert mem.shard_size == 2
+
+    idx, imgs, states, labels, paths, shapes, z = mem.sample(4)
+    assert imgs.shape == (4, 64, 64, 3)
+    # batch position p draws from shard p (bps=1)
+    assert all(idx[p] // mem.shard_size == p for p in range(4))
+    # the gathered batch is born data-sharded
+    assert not imgs.sharding.is_fully_replicated
+    # gather really fetched the pool rows
+    want = np.stack([np.asarray(mem.images[i]) for i in idx])
+    np.testing.assert_allclose(np.asarray(imgs), want, atol=0)
+
+    # write back: 2 kept rows land in the right slots, others untouched
+    new_states = states.copy()
+    new_states[:, STATE_STEP_DIM] += 1
+    new_states[:2, STATE_STOPPED_DIM] = 1
+    marked = jnp.zeros_like(imgs) + 0.321
+    mem.replace(idx, marked, new_states)
+    np.testing.assert_allclose(np.asarray(mem.images[idx[2]]), 0.321,
+                               atol=1e-6)
+    assert (mem.states[idx[:2]][:, STATE_STOPPED_DIM] == 1).all()
+
+    # stopped slots never sampled again; refresh path handles uneven groups
+    for _ in range(3):
+        idx2, *_rest = mem.sample(4)
+        st = mem.states[idx2]
+        assert (st[:, STATE_STOPPED_DIM] != 1).all()
+
+    idx3, imgs3, states3, *_r = mem.sample(4)
+    mem.replace(idx3, imgs3, states3, diverged=True)
+    assert (mem.states[idx3][:, STATE_STEP_DIM] == 0).all()
+    # refreshed images are real fresh rows, not the zero padding
+    for i in idx3:
+        assert float(jnp.abs(mem.images[i]).sum()) > 0
+    mem.stop()
+
+
+def test_trainer_device_replay_on_mesh(toy_dataset_dir, tmp_path):
+    """3 trainer steps with the sharded device pool on a 4-device mesh."""
+    import numpy as _np
+    from adaptiveisp_tpu.config import TrainConfig
+    from adaptiveisp_tpu.detect.spec import YOLOV3_TINY_SPEC
+    from adaptiveisp_tpu.train.mesh import make_mesh
+    from adaptiveisp_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(4)
+    tcfg = TrainConfig(batch_size=4, imgsz=64, epochs=1)
+    tr = Trainer(CFG, tcfg, str(toy_dataset_dir),
+                 save_dir=str(tmp_path / "exp"), t_max=8, log=False,
+                 device_replay=True, mesh=mesh,
+                 yolo_spec=YOLOV3_TINY_SPEC)
+    assert tr.device_replay is not None
+    assert tr.device_replay.mesh is mesh
+    tr.train(max_steps=2, print_freq=10)
+    assert _np.isfinite(
+        float(tr.device_replay.states[:, STATE_STEP_DIM].mean()))
+    assert tr.device_replay.stats()["avg_trajectory"] >= 0
+    tr.close()
+
+
 def test_device_replay_overlong_refresh(toy_dataset_dir):
     from adaptiveisp_tpu.data.replay_device import DeviceReplayMemory
 

@@ -213,6 +213,45 @@ def test_nms_matches_numpy_oracle():
     np.testing.assert_allclose(got_scores, want_scores[:nvalid], rtol=1e-5)
 
 
+def test_nms_blocked_matches_oracle_across_block_sizes():
+    """Multi-block path + early exit must stay exactly greedy.
+
+    256 candidates with heavy same-class overlap, run with block sizes that
+    force 1, 2, 4, and 16 blocks; every configuration must reproduce the
+    sequential numpy greedy oracle (reference torchvision.ops.nms
+    semantics, general.py:944-950)."""
+    n, nc = 256, 3
+    rng = np.random.RandomState(7)
+    pred = np.zeros((1, n, 5 + nc), np.float32)
+    centers = rng.rand(12, 2) * 80 + 40
+    idx = rng.randint(0, 12, n)
+    pred[0, :, :2] = centers[idx] + rng.randn(n, 2) * 6
+    pred[0, :, 2:4] = 25 + rng.rand(n, 2) * 10
+    pred[0, :, 4] = rng.rand(n)
+    cls_probs = rng.rand(n, nc).astype(np.float32)
+    pred[0, :, 5:] = cls_probs
+
+    obj = pred[0, :, 4]
+    conf = cls_probs * obj[:, None]
+    best = conf.argmax(1)
+    scores = conf[np.arange(n), best]
+    m = scores > 0.05
+    boxes = np.asarray(xywh2xyxy(jnp.asarray(pred[0, :, :4])))
+    offset = best[:, None] * 7680.0
+    keep = np_greedy_nms((boxes + offset)[m], scores[m], 0.5)
+    max_det = min(24, len(keep))  # force the early-exit branch
+    want_scores = np.sort(scores[m][keep[:max_det]])[::-1]
+
+    for block in (256, 128, 64, 16):
+        out, nvalid = non_max_suppression(
+            jnp.asarray(pred), conf_thres=0.05, iou_thres=0.5,
+            max_det=max_det, max_nms=n, multi_label=False, block=block)
+        assert int(nvalid[0]) == max_det, block
+        got = np.asarray(out[0][:max_det, 4])
+        np.testing.assert_allclose(got, want_scores, rtol=1e-5,
+                                   err_msg=f"block={block}")
+
+
 def test_nms_multilabel_expands_classes():
     pred = np.zeros((1, 4, 5 + 3), np.float32)
     pred[0, 0] = [50, 50, 20, 20, 0.9, 0.8, 0.7, 0.01]
