@@ -8,6 +8,15 @@ Counterparts of /root/reference/yolov3/utils/metrics.py:
 These run on host after device NMS — PR-curve interpolation over a full val
 set is trivially cheap versus the conv stacks, and keeping NumPy here gives
 bit-parity with the published COCO 101-point protocol.
+
+PROTOCOL NOTE: the evaluation protocol (101-point interpolated AP, the
+monotone precision envelope, the descending-confidence np.interp sampling
+onto a 1000-point grid, and the greedy unique-match rule in process_batch)
+must be numerically identical to the reference for the mAP parity gate —
+the formulas are the spec, not an implementation choice.  The structure
+here (per-class curve helper, envelope naming) is our own; the numbers are
+pinned against hand-computed and reference-derived fixtures in
+tests/test_loss_nms_metrics.py.
 """
 
 from __future__ import annotations
@@ -33,50 +42,72 @@ def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
 
 
 def compute_ap(recall, precision):
-    """101-point COCO-interpolated AP (reference metrics.py:98-123)."""
-    mrec = np.concatenate(([0.0], recall, [1.0]))
-    mpre = np.concatenate(([1.0], precision, [0.0]))
-    mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
-    x = np.linspace(0, 1, 101)
-    ap = np.trapz(np.interp(x, mrec, mpre), x)
-    return ap, mpre, mrec
+    """101-point COCO-interpolated AP (protocol: reference metrics.py:98-123).
+
+    Extends the curve with (r=0, p=1) / (r=1, p=0) sentinels, replaces the
+    precision curve with its right-to-left running-max envelope, then
+    integrates the envelope sampled on the fixed 101-point recall grid.
+    """
+    r_curve = np.concatenate(([0.0], recall, [1.0]))
+    envelope = np.concatenate(([1.0], precision, [0.0]))[::-1]
+    envelope = np.maximum.accumulate(envelope)[::-1]
+    grid = np.linspace(0, 1, 101)
+    ap = np.trapz(np.interp(grid, r_curve, envelope), grid)
+    return ap, envelope, r_curve
+
+
+# fixed confidence grid the per-class P/R curves are sampled onto; conf is
+# descending after the global sort, hence the negated-x interp below
+_CONF_GRID = np.linspace(0, 1, 1000)
+
+
+def _class_curves(tp_c, conf_c, n_labels, eps):
+    """P/R-vs-confidence curves + per-IoU AP for one class.
+
+    tp_c [n, n_iou] is confidence-sorted (descending).  Returns the recall
+    and precision curves sampled on _CONF_GRID (using the lowest-IoU column,
+    i.e. IoU 0.5, as the protocol does) and AP at every IoU threshold.
+    """
+    cum_tp = tp_c.cumsum(0)
+    cum_fp = (1 - tp_c).cumsum(0)
+    recall = cum_tp / (n_labels + eps)
+    precision = cum_tp / (cum_tp + cum_fp)
+    r_grid = np.interp(-_CONF_GRID, -conf_c, recall[:, 0], left=0)
+    p_grid = np.interp(-_CONF_GRID, -conf_c, precision[:, 0], left=1)
+    ap = np.array([compute_ap(recall[:, j], precision[:, j])[0]
+                   for j in range(tp_c.shape[1])])
+    return r_grid, p_grid, ap
 
 
 def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
-    """Per-class AP from accumulated predictions (reference metrics.py:31-95).
+    """Per-class AP from accumulated predictions (protocol: reference
+    metrics.py:31-95).
 
     tp: [n_pred, n_iou] bool; conf, pred_cls: [n_pred]; target_cls: [n_gt].
-    Returns (tp, fp, p, r, f1, ap[nc, n_iou], unique_classes).
+    Returns (tp, fp, p, r, f1, ap[nc, n_iou], unique_classes).  The final
+    scalar P/R/F1 are read off the confidence grid at the point maximizing
+    the smoothed class-mean F1 curve.
     """
-    i = np.argsort(-conf)
-    tp, conf, pred_cls = tp[i], conf[i], pred_cls[i]
+    order = np.argsort(-conf)
+    tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
 
-    unique_classes, nt = np.unique(target_cls, return_counts=True)
+    unique_classes, n_labels = np.unique(target_cls, return_counts=True)
     nc = unique_classes.shape[0]
+    n_grid = _CONF_GRID.shape[0]
 
-    px = np.linspace(0, 1, 1000)
     ap = np.zeros((nc, tp.shape[1]))
-    p = np.zeros((nc, 1000))
-    r = np.zeros((nc, 1000))
+    p = np.zeros((nc, n_grid))
+    r = np.zeros((nc, n_grid))
     for ci, c in enumerate(unique_classes):
-        i = pred_cls == c
-        n_l = nt[ci]
-        n_p = i.sum()
-        if n_p == 0 or n_l == 0:
-            continue
-        fpc = (1 - tp[i]).cumsum(0)
-        tpc = tp[i].cumsum(0)
-        recall = tpc / (n_l + eps)
-        r[ci] = np.interp(-px, -conf[i], recall[:, 0], left=0)
-        precision = tpc / (tpc + fpc)
-        p[ci] = np.interp(-px, -conf[i], precision[:, 0], left=1)
-        for j in range(tp.shape[1]):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+        mine = pred_cls == c
+        if n_labels[ci] and mine.any():
+            r[ci], p[ci], ap[ci] = _class_curves(
+                tp[mine], conf[mine], n_labels[ci], eps)
 
     f1 = 2 * p * r / (p + r + eps)
-    i = smooth(f1.mean(0), 0.1).argmax()
-    p, r, f1 = p[:, i], r[:, i], f1[:, i]
-    tp_count = (r * nt).round()
+    best = smooth(f1.mean(0), 0.1).argmax()
+    p, r, f1 = p[:, best], r[:, best], f1[:, best]
+    tp_count = (r * n_labels).round()
     fp_count = (tp_count / (p + eps) - tp_count).round()
     return tp_count, fp_count, p, r, f1, ap, unique_classes.astype(int)
 

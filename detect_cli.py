@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Streaming detection CLI — the reference `python yolov3/detect.py` analog
 (/root/reference/yolov3/detect.py): run (optionally adaptive-ISP-processed)
-detection over a folder/list of images, printing and saving results.
+detection over images, video files, globs, webcam indices, or rtsp/http
+streams (reference LoadImages/LoadStreams surface, dataloaders.py:190-427),
+printing and saving results.
 """
 
 import argparse
@@ -11,7 +13,12 @@ import os
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--source", type=str, required=True,
-                   help="image file, folder, or .txt list")
+                   help="image file/folder/.txt list/glob, video file, "
+                        "webcam index, rtsp/http url, or .streams file")
+    p.add_argument("--vid_stride", type=int, default=1,
+                   help="video frame-rate stride")
+    p.add_argument("--max_frames", type=int, default=None,
+                   help="stop a live stream after N frames")
     p.add_argument("--weights", type=str, default="pretrained/yolov3.pt")
     p.add_argument("--isp_weights", type=str, default=None,
                    help="run adaptive ISP preprocessing with this agent ckpt")
@@ -34,9 +41,8 @@ def main(argv=None):
     from train_isp import load_yolo_variables
     from adaptiveisp_tpu.config import Config
     from adaptiveisp_tpu.data.dataset_config import COCO_NAMES
-    from adaptiveisp_tpu.data.datasets import load_image_file
-    from adaptiveisp_tpu.data.labels import parse_image_list
     from adaptiveisp_tpu.data.letterbox import letterbox
+    from adaptiveisp_tpu.data.sources import open_source
     from adaptiveisp_tpu.detect.boxes import scale_boxes
     from adaptiveisp_tpu.detect.model import create_detector, decode_predictions
     from adaptiveisp_tpu.detect.nms import non_max_suppression
@@ -73,8 +79,23 @@ def main(argv=None):
         yolo.apply(v, x, train=False)))
     os.makedirs(args.save_dir, exist_ok=True)
 
-    for path in parse_image_list(args.source):
-        raw = load_image_file(path)
+    source = open_source(args.source, vid_stride=args.vid_stride,
+                         max_frames=args.max_frames)
+    sources = source if isinstance(source, list) else [source]
+    for src in sources:
+        _run_source(src, args, isp, fwd, yolo_vars)
+
+
+def _run_source(source, args, isp, fwd, yolo_vars):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from adaptiveisp_tpu.data.dataset_config import COCO_NAMES
+    from adaptiveisp_tpu.data.letterbox import letterbox
+    from adaptiveisp_tpu.detect.boxes import scale_boxes
+    from adaptiveisp_tpu.detect.nms import non_max_suppression
+
+    for name, raw, meta in source:
         h0, w0 = raw.shape[:2]
         img, ratio, pad = letterbox(raw, args.imgsz, color=(0, 0, 0),
                                     auto=False)
@@ -85,19 +106,17 @@ def main(argv=None):
         dets, nvalid = non_max_suppression(
             preds, conf_thres=args.conf_thres, iou_thres=args.iou_thres,
             max_det=args.max_det, multi_label=False)
-        det = np.asarray(dets[0][:int(nvalid[0])])
+        det = np.array(dets[0][:int(nvalid[0])])  # copy: np view is read-only
         if det.shape[0]:
             det[:, :4] = scale_boxes((args.imgsz, args.imgsz), det[:, :4],
                                      (h0, w0), (ratio, pad))
-        name = os.path.split(path)[1]
         print(f"{name}: {det.shape[0]} detections")
         for d in det:
             cls = COCO_NAMES[int(d[5])] if int(d[5]) < len(COCO_NAMES) else d[5]
             print(f"  {cls} {d[4]:.2f} [{d[0]:.0f},{d[1]:.0f},{d[2]:.0f},{d[3]:.0f}]")
         if args.save_txt:
-            with open(os.path.join(
-                    args.save_dir, os.path.splitext(name)[0] + ".txt"),
-                    "w") as f:
+            safe = os.path.splitext(name.replace(":", "_"))[0]
+            with open(os.path.join(args.save_dir, safe + ".txt"), "w") as f:
                 for d in det:
                     f.write(" ".join(f"{v:.5g}" for v in d) + "\n")
 
