@@ -60,7 +60,8 @@ class ISPDataset:
                  add_noise: bool = False, brightness_range=None,
                  noise_level=None, use_linear: bool = False,
                  limit: int = -1, train: bool = True,
-                 cache_labels: bool = True):
+                 cache_labels: bool = True, cache_images=None,
+                 cache_threads: int = 8):
         self.img_size = img_size
         self.source = source
         self.high_res = high_res
@@ -86,19 +87,66 @@ class ISPDataset:
         self.labels = load_labels(self.im_files, self.label_files, cache)
         self.indices = np.arange(len(self.im_files))
 
+        # decoded-image cache (reference dataloaders.py:577-595): "ram"
+        # preloads the resized float32 arrays, "disk" memoizes them as .npy
+        # keyed by img_size so repeated epochs skip decode + resize
+        if cache_images not in (None, False, "ram", "disk"):
+            raise ValueError(f"cache_images must be None/'ram'/'disk', "
+                             f"got {cache_images!r}")
+        self.cache_mode = cache_images or None
+        self._ram_cache = [None] * len(self.im_files)
+        self._npy_files = None
+        if self.cache_mode == "disk":
+            cdir = os.path.join(
+                os.path.dirname(self.im_files[0]) or ".",
+                ".adaptiveisp_im_cache")
+            os.makedirs(cdir, exist_ok=True)
+            self._npy_files = [
+                os.path.join(cdir, os.path.splitext(os.path.split(f)[1])[0]
+                             + f"_{img_size}.npz")
+                for f in self.im_files]
+        if self.cache_mode:
+            from multiprocessing.pool import ThreadPool
+
+            with ThreadPool(max(1, cache_threads)) as tp:
+                tp.map(self._warm_cache, range(len(self.im_files)))
+
     def __len__(self):
         # indices may be a subset view (see split())
         return len(self.indices)
 
     # ---------------------------------------------------------------- #
-    def _load_resized(self, index: int):
-        """Load + resize longest side to img_size (reference load_image)."""
+    def _decode_resized(self, index: int):
         img = load_image_file(self.im_files[index])
         h0, w0 = img.shape[:2]
         r = self.img_size / max(h0, w0)
         if r != 1:
             img = resize_bilinear(img, int(round(h0 * r)), int(round(w0 * r)))
-        return img, (h0, w0), img.shape[:2]
+        return np.ascontiguousarray(img, np.float32), np.int32([h0, w0])
+
+    def _warm_cache(self, index: int):
+        if self.cache_mode == "ram":
+            self._ram_cache[index] = self._decode_resized(index)
+        elif not os.path.isfile(self._npy_files[index]):
+            img, h0w0 = self._decode_resized(index)
+            tmp = self._npy_files[index] + f".tmp{os.getpid()}"
+            np.savez(tmp, img=img, h0w0=h0w0)
+            os.replace(tmp + ".npz", self._npy_files[index])
+
+    def _load_resized(self, index: int):
+        """Load + resize longest side to img_size (reference load_image),
+        via the RAM/disk cache when enabled."""
+        if self.cache_mode == "ram":
+            img, h0w0 = self._ram_cache[index]
+            img = img.copy()  # callers transform in place downstream
+            return img, tuple(int(v) for v in h0w0), img.shape[:2]
+        if self.cache_mode == "disk":
+            with np.load(self._npy_files[index]) as z:
+                img = z["img"]
+                h0, w0 = (int(v) for v in z["h0w0"])
+            return img, (h0, w0), img.shape[:2]
+        img, h0w0 = self._decode_resized(index)
+        return img, tuple(int(v) for v in h0w0), img.shape[:2]
 
     def __getitem__(self, index: int):
         index = int(self.indices[index])

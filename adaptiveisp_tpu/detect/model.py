@@ -19,12 +19,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from adaptiveisp_tpu.detect.layers import (
+    C3,
+    SPP,
+    SPPF,
     Bottleneck,
+    BottleneckCSP,
     ConvBNAct,
+    Focus,
     max_pool,
     upsample_nearest_2x,
 )
 from adaptiveisp_tpu.detect.spec import YOLOV3_SPEC, flatten_layers
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    """Round channel counts up to the divisor (reference general.py:738)."""
+    import math
+
+    return int(math.ceil(x / divisor) * divisor)
 
 
 class DetectHead(nn.Module):
@@ -68,6 +80,12 @@ class DetectionModel(nn.Module):
         layers = flatten_layers(spec)
         anchors = spec["anchors"]
         na = len(anchors[0]) // 2
+        # depth/width compound scaling (reference parse_model, yolo.py:311-318)
+        gd = float(spec.get("depth_multiple", 1.0))
+        gw = float(spec.get("width_multiple", 1.0))
+
+        def ch(c):
+            return c if gw == 1.0 else make_divisible(c * gw, 8)
 
         outputs: List[jnp.ndarray] = []
         for i, (frm, num, mod, args) in enumerate(layers):
@@ -75,21 +93,41 @@ class DetectionModel(nn.Module):
                 inp = x if frm == -1 else outputs[frm]
             else:
                 inp = [x if j == -1 else outputs[j] for j in frm]
+            num = max(round(num * gd), 1) if num > 1 else num
 
             if mod == "Conv":
-                c2, k, s = args[0], args[1], args[2]
+                c2, k, s = ch(args[0]), args[1], args[2]
+                p = args[3] if len(args) > 3 else None
                 y = inp
                 for r in range(num):
-                    y = ConvBNAct(c2, k, s, dtype=self.dtype,
+                    y = ConvBNAct(c2, k, s, p=p, dtype=self.dtype,
                                   name=f"l{i}_{r}" if num > 1
                                   else f"l{i}")(y, train=train)
             elif mod == "Bottleneck":
                 shortcut = args[1] if len(args) > 1 else True
                 y = inp
                 for r in range(num):
-                    y = Bottleneck(args[0], shortcut, dtype=self.dtype,
+                    y = Bottleneck(ch(args[0]), shortcut, dtype=self.dtype,
                                    name=f"l{i}_{r}" if num > 1
                                    else f"l{i}")(y, train=train)
+            elif mod in ("C3", "BottleneckCSP"):
+                # the row's repeat count becomes the internal bottleneck
+                # count (reference parse_model: args.insert(2, n); n = 1)
+                shortcut = args[1] if len(args) > 1 else True
+                cls = C3 if mod == "C3" else BottleneckCSP
+                y = cls(ch(args[0]), n=num, shortcut=shortcut,
+                        dtype=self.dtype, name=f"l{i}")(inp, train=train)
+            elif mod == "SPP":
+                y = SPP(ch(args[0]), k=tuple(args[1]) if len(args) > 1
+                        else (5, 9, 13), dtype=self.dtype,
+                        name=f"l{i}")(inp, train=train)
+            elif mod == "SPPF":
+                y = SPPF(ch(args[0]), k=args[1] if len(args) > 1 else 5,
+                         dtype=self.dtype, name=f"l{i}")(inp, train=train)
+            elif mod == "Focus":
+                y = Focus(ch(args[0]), k=args[1] if len(args) > 1 else 1,
+                          s=args[2] if len(args) > 2 else 1,
+                          dtype=self.dtype, name=f"l{i}")(inp, train=train)
             elif mod == "Upsample":
                 y = upsample_nearest_2x(inp)
             elif mod == "Concat":

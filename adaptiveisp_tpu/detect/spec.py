@@ -101,14 +101,77 @@ YOLOV3_TINY_SPEC: Dict[str, Any] = {
 }
 
 
+# yolov5-s: the CSP model family (C3 + SPPF + compound depth/width scaling)
+# the spec-driven builder supports beyond darknet53 — the public
+# ultralytics/yolov5 v6 architecture at gd=0.33/gw=0.50.
+YOLOV5S_SPEC: Dict[str, Any] = {
+    "nc": 80,
+    "depth_multiple": 0.33,
+    "width_multiple": 0.50,
+    "anchors": [
+        [10, 13, 16, 30, 33, 23],
+        [30, 61, 62, 45, 59, 119],
+        [116, 90, 156, 198, 373, 326],
+    ],
+    "backbone": [
+        [-1, 1, "Conv", [64, 6, 2, 2]],   # 0 P1/2 (6x6 stem, explicit pad)
+        [-1, 1, "Conv", [128, 3, 2]],     # 1 P2/4
+        [-1, 3, "C3", [128]],
+        [-1, 1, "Conv", [256, 3, 2]],     # 3 P3/8
+        [-1, 6, "C3", [256]],
+        [-1, 1, "Conv", [512, 3, 2]],     # 5 P4/16
+        [-1, 9, "C3", [512]],
+        [-1, 1, "Conv", [1024, 3, 2]],    # 7 P5/32
+        [-1, 3, "C3", [1024]],
+        [-1, 1, "SPPF", [1024, 5]],       # 9
+    ],
+    "head": [
+        [-1, 1, "Conv", [512, 1, 1]],
+        [-1, 1, "Upsample", [None, 2, "nearest"]],
+        [[-1, 6], 1, "Concat", [1]],
+        [-1, 3, "C3", [512, False]],      # 13
+        [-1, 1, "Conv", [256, 1, 1]],
+        [-1, 1, "Upsample", [None, 2, "nearest"]],
+        [[-1, 4], 1, "Concat", [1]],
+        [-1, 3, "C3", [256, False]],      # 17 (P3/8-small)
+        [-1, 1, "Conv", [256, 3, 2]],
+        [[-1, 14], 1, "Concat", [1]],
+        [-1, 3, "C3", [512, False]],      # 20 (P4/16-medium)
+        [-1, 1, "Conv", [512, 3, 2]],
+        [[-1, 10], 1, "Concat", [1]],
+        [-1, 3, "C3", [1024, False]],     # 23 (P5/32-large)
+        [[17, 20, 23], 1, "Detect", ["nc", "anchors"]],
+    ],
+}
+
+# torch-module spellings in real ultralytics YAMLs -> builder module names
+_MODULE_ALIASES = {
+    "nn.Upsample": "Upsample",
+    "nn.MaxPool2d": "MaxPool",
+    "nn.ZeroPad2d": "ZeroPad",
+}
+
+
+def _normalize(spec: Dict[str, Any]) -> Dict[str, Any]:
+    out = dict(spec)
+    for part in ("backbone", "head"):
+        rows = []
+        for frm, num, mod, args in spec[part]:
+            rows.append([frm, num, _MODULE_ALIASES.get(str(mod), str(mod)),
+                         list(args)])
+        out[part] = rows
+    return out
+
+
 def load_spec(path_or_dict) -> Dict[str, Any]:
-    """Load a model spec from a dict or a YAML file path."""
+    """Load a model spec from a dict or a YAML file path (accepts the
+    reference's ultralytics YAML spellings, e.g. nn.Upsample)."""
     if isinstance(path_or_dict, dict):
-        return path_or_dict
+        return _normalize(path_or_dict)
     import yaml
 
     with open(path_or_dict, encoding="ascii", errors="ignore") as f:
-        return yaml.safe_load(f)
+        return _normalize(yaml.safe_load(f))
 
 
 def flatten_layers(spec: Dict[str, Any]) -> List[list]:

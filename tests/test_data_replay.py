@@ -208,6 +208,35 @@ def test_device_replay_memory(toy_dataset_dir):
     mem.stop()
 
 
+@pytest.mark.parametrize("mode", ["ram", "disk"])
+def test_image_cache_matches_uncached(toy_dataset_dir, mode):
+    """RAM/disk image caching returns byte-identical items (reference
+    dataloaders.py:577-595 capability)."""
+    base = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                      train=False, cache_labels=False)
+    cached = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                        train=False, cache_labels=False, cache_images=mode)
+    for i in (0, 3, 7):
+        a, b = base[i], cached[i]
+        np.testing.assert_array_equal(a["im"], b["im"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+        assert a["shape"] == b["shape"]
+    if mode == "disk":
+        cdir = os.path.join(toy_dataset_dir, ".adaptiveisp_im_cache")
+        assert len(os.listdir(cdir)) == 8
+        # a second instance reuses the memoized files (no re-decode needed)
+        again = ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                           train=False, cache_labels=False,
+                           cache_images="disk")
+        np.testing.assert_array_equal(base[1]["im"], again[1]["im"])
+
+
+def test_image_cache_rejects_bad_mode(toy_dataset_dir):
+    with pytest.raises(ValueError):
+        ISPDataset(toy_dataset_dir, img_size=64, source="normalize",
+                   cache_labels=False, cache_images="gpu")
+
+
 def test_device_replay_memory_sharded_mesh(toy_dataset_dir):
     """Pool sharded over a 4-device DP mesh: per-shard sampling, shard-local
     write-back, refresh across uneven shard groups (VERDICT r1 #6)."""
