@@ -279,3 +279,67 @@ class DetectorTrainer:
 def load_detector_checkpoint(path: str):
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    """`python -m adaptiveisp_tpu.detect.train_loop` — the standalone
+    detector trainer CLI (reference yolov3/train.py:463-516 surface)."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True,
+                   help="train images: dir, .txt list, or glob")
+    p.add_argument("--val-data", default=None)
+    p.add_argument("--spec", default="yolov3",
+                   help="yolov3 | yolov3-tiny | yolov5s | path to YAML")
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr0", type=float, default=0.01)
+    p.add_argument("--patience", type=int, default=100)
+    p.add_argument("--multi-scale", action="store_true")
+    p.add_argument("--single-cls", action="store_true")
+    p.add_argument("--cache", default="none", choices=["none", "ram", "disk"])
+    p.add_argument("--nc", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save-dir", default="runs/train-det")
+    args = p.parse_args(argv)
+
+    from adaptiveisp_tpu.detect.model import create_detector
+    from adaptiveisp_tpu.detect.spec import (
+        YOLOV3_SPEC, YOLOV3_TINY_SPEC, YOLOV5S_SPEC, load_spec)
+
+    spec = {"yolov3": YOLOV3_SPEC, "yolov3-tiny": YOLOV3_TINY_SPEC,
+            "yolov5s": YOLOV5S_SPEC}.get(args.spec) or load_spec(args.spec)
+    if args.nc is not None and args.nc != spec["nc"]:
+        spec = dict(spec, nc=args.nc)
+
+    train_ds = DetectorDataset(args.data, img_size=args.imgsz,
+                               batch_size=args.batch_size, augment=True,
+                               cache=args.cache, nc=spec["nc"],
+                               single_cls=args.single_cls, seed=args.seed)
+    val_ds = None
+    if args.val_data:
+        val_ds = DetectorDataset(args.val_data, img_size=args.imgsz,
+                                 batch_size=args.batch_size, augment=False,
+                                 nc=spec["nc"], single_cls=args.single_cls)
+
+    model, variables = create_detector(
+        jax.random.PRNGKey(args.seed), spec=spec, imgsz=args.imgsz)
+    cfg = DetTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
+                         lr0=args.lr0, patience=args.patience)
+    trainer = DetectorTrainer(model, variables, spec, train_ds, val_ds,
+                              cfg=cfg, save_dir=args.save_dir,
+                              multi_scale=args.multi_scale)
+    history = trainer.fit()
+    for log in history:
+        print(f"epoch {log.epoch}: loss {log.loss:.4f} lr {log.lr:.5f} "
+              f"map50 {log.metrics['map50']:.4f} fitness {log.fitness:.4f} "
+              f"({log.seconds:.1f}s)")
+    print(f"best fitness {trainer.best_fitness:.4f} -> "
+          f"{args.save_dir}/best.pkl")
+    return history
+
+
+if __name__ == "__main__":
+    main()
