@@ -72,17 +72,121 @@ class AdaptiveISP:
                           no_pipeline(self.steps))
 
 
+class Detections:
+    """Inference results container — the reference's hub Detections object
+    (reference yolov3/models/common.py:708-837): per-image boxes in ORIGINAL
+    image coordinates, with render/save/crop/to_dicts accessors."""
+
+    def __init__(self, ims, xyxy, names, paths=None):
+        self.ims = ims            # list of HWC float32 [0,1] originals
+        self.xyxy = xyxy          # list of [n, 6] (xyxy, conf, cls)
+        self.names = names        # {class_id: name}
+        self.paths = paths or [None] * len(ims)
+
+    def __len__(self):
+        return len(self.ims)
+
+    def __repr__(self):
+        lines = []
+        for i, det in enumerate(self.xyxy):
+            h, w = self.ims[i].shape[:2]
+            counts = {}
+            for c in det[:, 5].astype(int):
+                counts[c] = counts.get(c, 0) + 1
+            body = ", ".join(
+                f"{n} {self.names.get(c, c)}{'s' if n > 1 else ''}"
+                for c, n in sorted(counts.items())) or "(no detections)"
+            lines.append(f"image {i}/{len(self)}: {w}x{h} {body}")
+        return "\n".join(lines)
+
+    def to_dicts(self):
+        """Per-image list of detection dicts (the pandas() analog)."""
+        out = []
+        for det in self.xyxy:
+            out.append([
+                {"xmin": float(d[0]), "ymin": float(d[1]),
+                 "xmax": float(d[2]), "ymax": float(d[3]),
+                 "confidence": float(d[4]), "class": int(d[5]),
+                 "name": self.names.get(int(d[5]), str(int(d[5])))}
+                for d in det])
+        return out
+
+    def render(self):
+        """Draw boxes onto copies of the originals; returns uint8 images."""
+        from PIL import Image, ImageDraw
+
+        rendered = []
+        for im, det in zip(self.ims, self.xyxy):
+            pil = Image.fromarray(
+                (np.clip(im, 0, 1) * 255).astype(np.uint8))
+            draw = ImageDraw.Draw(pil)
+            for d in det:
+                c = int(d[5])
+                color = tuple(int(v) for v in (
+                    37 * (c + 1) % 256, 91 * (c + 3) % 256,
+                    53 * (c + 7) % 256))
+                draw.rectangle(list(map(float, d[:4])), outline=color,
+                               width=2)
+                draw.text((float(d[0]) + 2, float(d[1]) + 2),
+                          f"{self.names.get(c, c)} {d[4]:.2f}", fill=color)
+            rendered.append(np.asarray(pil))
+        return rendered
+
+    def save(self, save_dir: str = "runs/hub"):
+        import os
+
+        from PIL import Image
+
+        os.makedirs(save_dir, exist_ok=True)
+        outs = []
+        for i, arr in enumerate(self.render()):
+            name = (f"image{i}.png" if self.paths[i] is None else
+                    os.path.split(self.paths[i])[1])
+            p = os.path.join(save_dir, name)
+            Image.fromarray(arr).save(p)
+            outs.append(p)
+        return outs
+
+    def crop(self, save_dir: Optional[str] = None):
+        """Per-detection crops (reference Detections.crop)."""
+        crops = []
+        for im, det in zip(self.ims, self.xyxy):
+            h, w = im.shape[:2]
+            for d in det:
+                x1, y1, x2, y2 = (max(0, int(d[0])), max(0, int(d[1])),
+                                  min(w, int(np.ceil(d[2]))),
+                                  min(h, int(np.ceil(d[3]))))
+                crops.append({"im": im[y1:y2, x1:x2].copy(),
+                              "cls": int(d[5]), "conf": float(d[4])})
+        if save_dir is not None:
+            import os
+
+            from PIL import Image
+
+            os.makedirs(save_dir, exist_ok=True)
+            for i, c in enumerate(crops):
+                Image.fromarray(
+                    (np.clip(c["im"], 0, 1) * 255).astype(np.uint8)).save(
+                    os.path.join(save_dir, f"crop{i}_cls{c['cls']}.png"))
+        return crops
+
+
 @dataclasses.dataclass
 class Detector:
     model: Any
     variables: Any
     spec: Any = None
+    names: Any = None
 
     def __post_init__(self):
         from adaptiveisp_tpu.detect.model import decode_predictions
 
         self._fwd = jax.jit(lambda v, x: decode_predictions(
             self.model.apply(v, x, train=False), self.spec))
+        if self.names is None:
+            from adaptiveisp_tpu.data.dataset_config import COCO_NAMES
+
+            self.names = dict(enumerate(COCO_NAMES))
 
     def detect(self, images, conf_thres: float = 0.25,
                iou_thres: float = 0.45, max_det: int = 300,
@@ -93,6 +197,54 @@ class Detector:
         return non_max_suppression(
             preds, conf_thres=conf_thres, iou_thres=iou_thres,
             max_det=max_det, multi_label=multi_label)
+
+    # ------------------------------------------------------------------ #
+    def __call__(self, sources, size: int = 512, conf_thres: float = 0.25,
+                 iou_thres: float = 0.45, max_det: int = 300,
+                 multi_label: bool = False) -> Detections:
+        """AutoShape-style inference (reference common.py:623-705): accepts
+        a path / numpy HWC image / PIL image or a list of them, handles
+        letterboxing and coordinate restoration internally."""
+        from adaptiveisp_tpu.data.letterbox import letterbox
+        from adaptiveisp_tpu.detect.boxes import scale_boxes
+
+        if not isinstance(sources, (list, tuple)):
+            sources = [sources]
+        ims, paths = [], []
+        for s in sources:
+            path = None
+            if isinstance(s, str):
+                from adaptiveisp_tpu.data.datasets import load_image_file
+
+                path, s = s, load_image_file(s)
+            elif hasattr(s, "convert"):  # PIL image
+                s = np.asarray(s.convert("RGB"), np.float32) / 255.0
+            else:
+                s = np.asarray(s)
+                if s.dtype == np.uint8:
+                    s = s.astype(np.float32) / 255.0
+            ims.append(s)
+            paths.append(path)
+
+        batch, metas = [], []
+        for im in ims:
+            lb, ratio, pad = letterbox(im, size, color=(0, 0, 0), auto=False)
+            batch.append(lb)
+            metas.append((im.shape[:2], (ratio, pad)))
+        dets, nvalid = self.detect(
+            np.stack(batch, 0), conf_thres=conf_thres, iou_thres=iou_thres,
+            max_det=max_det, multi_label=multi_label)
+        dets = np.array(dets)
+        nvalid = np.asarray(nvalid)
+
+        per_image = []
+        for i, ((h0, w0), ratio_pad) in enumerate(metas):
+            d = dets[i][:int(nvalid[i])].copy()
+            if d.shape[0]:
+                d[:, :4] = scale_boxes((size, size), d[:, :4], (h0, w0),
+                                       ratio_pad)
+            per_image.append(d)
+        return Detections(ims, per_image, self.names, paths)
 
 
 def load_adaptive_isp(agent_ckpt: Optional[str] = None,

@@ -1,0 +1,52 @@
+"""AutoShape/Detections hub API (reference models/common.py:623-837)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def detector():
+    from adaptiveisp_tpu import api
+    from adaptiveisp_tpu.detect.spec import YOLOV3_TINY_SPEC
+
+    return api.load_detector(spec=YOLOV3_TINY_SPEC)
+
+
+def test_autoshape_accepts_mixed_sources(detector, tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    arr_f = rng.rand(40, 60, 3).astype(np.float32)
+    arr_u8 = (rng.rand(30, 50, 3) * 255).astype(np.uint8)
+    pil = Image.fromarray(arr_u8)
+    p = str(tmp_path / "x.png")
+    pil.save(p)
+
+    res = detector([arr_f, arr_u8, pil, p], size=64, conf_thres=0.001)
+    assert len(res) == 4
+    assert res.paths[3] == p
+    # boxes live in original coordinates
+    for im, det in zip(res.ims, res.xyxy):
+        h, w = im.shape[:2]
+        if det.shape[0]:
+            assert det[:, [0, 2]].max() <= w + 1e-3
+            assert det[:, [1, 3]].max() <= h + 1e-3
+    assert isinstance(repr(res), str) and "image 0/4" in repr(res)
+
+
+def test_detections_accessors(detector, tmp_path):
+    rng = np.random.RandomState(1)
+    res = detector(rng.rand(48, 48, 3).astype(np.float32), size=64,
+                   conf_thres=0.001)
+    dicts = res.to_dicts()
+    assert len(dicts) == 1
+    for d in dicts[0]:
+        assert set(d) == {"xmin", "ymin", "xmax", "ymax", "confidence",
+                          "class", "name"}
+    rendered = res.render()
+    assert rendered[0].shape == (48, 48, 3) and rendered[0].dtype == np.uint8
+    saved = res.save(str(tmp_path / "out"))
+    assert len(saved) == 1
+    crops = res.crop()
+    for c in crops:
+        assert c["im"].ndim == 3 and c["im"].size > 0
