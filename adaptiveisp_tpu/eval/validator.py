@@ -71,6 +71,21 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
     fwd = jax.jit(lambda v, x: decode_predictions(
         yolo.apply(v, x, train=False), yolo_spec))
 
+    # fused eval step: rollout + detector + decode + NMS in ONE compiled
+    # call.  Through a remote/tunneled device every dispatch pays an RTT;
+    # one call per batch instead of three cut steady-state eval from 282 to
+    # ~RTT+compute ms/img.  profile=True keeps the three separate calls so
+    # the reference's pre/inference/NMS attribution stays measurable.
+    def _eval(avars, yvars, im, noises, states, pipe):
+        res = roll(avars, im, noises, states, pipe)
+        preds = fwd(yvars, res.image)
+        dets, nvalid = non_max_suppression(
+            preds, conf_thres=conf_thres, iou_thres=iou_thres,
+            max_det=max_det, multi_label=True)
+        return res, dets, nvalid
+
+    eval_fused = jax.jit(_eval)
+
     pipe_arr = (no_pipeline(steps) if pipeline is None
                 else jnp.asarray([(-1 if p is None else int(p))
                                   for p in pipeline], jnp.int32))
@@ -100,22 +115,33 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
             get_noise(np.random.RandomState(0), batch_size, cfg.z_dim,
                       cfg.z_type) for _ in range(steps)]))
         wst = jnp.asarray(get_initial_states(batch_size, cfg.num_state_dim))
-        wres = roll(agent_variables, wim, wno, wst, pipe_arr)
-        wpred = fwd(yolo_variables, wres.image)
-        jax.device_get(non_max_suppression(
-            wpred, conf_thres=conf_thres, iou_thres=iou_thres,
-            max_det=max_det, multi_label=True)[1])
+        if profile:
+            wres = roll(agent_variables, wim, wno, wst, pipe_arr)
+            wpred = fwd(yolo_variables, wres.image)
+            jax.device_get(non_max_suppression(
+                wpred, conf_thres=conf_thres, iou_thres=iou_thres,
+                max_det=max_det, multi_label=True)[1])
+        else:
+            jax.device_get(eval_fused(
+                agent_variables, yolo_variables, wim, wno, wst, pipe_arr)[2])
 
-    def dispatch(idx):
-        """Host prep + async device dispatch for one batch (no fetch)."""
+    def _host_prep(idx):
+        """Decode + collate + noise draws (runs on the producer thread)."""
+        batch = collate([dataset[i] for i in idx])
+        nb = batch["im"].shape[0]
+        noises = np.stack([get_noise(rng, nb, cfg.z_dim, cfg.z_type)
+                           for _ in range(steps)])
+        states = get_initial_states(nb, cfg.num_state_dim)
+        return batch, noises, states
+
+    def dispatch(prepped):
+        """Device transfer + ONE async eval dispatch (no fetch)."""
+        batch, noises_np, states_np = prepped
         with profiles["pre"]:
-            batch = collate([dataset[i] for i in idx])
             im = jnp.asarray(batch["im"])
             nb = im.shape[0]
-            noises = jnp.asarray(np.stack([
-                get_noise(rng, nb, cfg.z_dim, cfg.z_type)
-                for _ in range(steps)]))
-            states = jnp.asarray(get_initial_states(nb, cfg.num_state_dim))
+            noises = jnp.asarray(noises_np)
+            states = jnp.asarray(states_np)
             if mesh is not None and nb % mesh.devices.size == 0:
                 # data-parallel eval: shard the batch over the mesh; the
                 # jits propagate input shardings (throughput mode)
@@ -125,14 +151,19 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                 states = jax.device_put(states,
                                         data_sharding(mesh, states.ndim))
 
-        with profiles["inference"]:
-            res = roll(agent_variables, im, noises, states, pipe_arr)
-            preds = fwd(yolo_variables, res.image)
-
-        with profiles["nms"]:
-            dets, nvalid = non_max_suppression(
-                preds, conf_thres=conf_thres, iou_thres=iou_thres,
-                max_det=max_det, multi_label=True)
+        if profile:
+            with profiles["inference"]:
+                res = roll(agent_variables, im, noises, states, pipe_arr)
+                preds = fwd(yolo_variables, res.image)
+            with profiles["nms"]:
+                dets, nvalid = non_max_suppression(
+                    preds, conf_thres=conf_thres, iou_thres=iou_thres,
+                    max_det=max_det, multi_label=True)
+        else:
+            with profiles["inference"]:
+                res, dets, nvalid = eval_fused(
+                    agent_variables, yolo_variables, im, noises, states,
+                    pipe_arr)
         return batch, nb, (im.shape[1], im.shape[2]), res, dets, nvalid
 
     def consume(work):
@@ -206,15 +237,35 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                 coco_records.extend(detections_to_coco(
                     path, det, class_map=COCO80_TO_91))
 
-    # double-buffered drive: dispatch batch k+1 before consuming batch k so
-    # the host post-processing overlaps device compute (VERDICT round-1 #5)
+    # double-buffered drive: a producer thread decodes/collates batches
+    # ahead, and batch k+1 is dispatched before batch k is fetched so host
+    # post-processing and IO overlap device compute (VERDICT round-1 #5)
+    import queue
+    import threading
     import time
 
     t_wall0 = time.perf_counter()
+    idx_lists = [list(range(s, min(s + batch_size, n_total)))
+                 for s in range(0, n_total, batch_size)]
+    q: queue.Queue = queue.Queue(maxsize=2)
+
+    def _producer():
+        try:
+            for idx in idx_lists:
+                q.put(_host_prep(idx))
+        except Exception as e:  # surface to the consumer
+            q.put(e)
+        q.put(None)
+
+    threading.Thread(target=_producer, daemon=True).start()
     pending = None
-    for start in range(0, n_total, batch_size):
-        idx = list(range(start, min(start + batch_size, n_total)))
-        work = dispatch(idx)
+    while True:
+        prepped = q.get()
+        if isinstance(prepped, Exception):
+            raise prepped
+        if prepped is None:
+            break
+        work = dispatch(prepped)
         if pending is not None:
             consume(pending)
         pending = work

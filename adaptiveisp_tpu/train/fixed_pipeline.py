@@ -26,11 +26,23 @@ from adaptiveisp_tpu.ops import bank
 
 def init_raw_params(cfg, stage_names: Sequence[str], key=None) -> Dict:
     """Zero-initialised raw features per stage (squash(0) = each filter's
-    neutral-ish midpoint)."""
+    neutral-ish midpoint).
+
+    CCM is the exception: zero features squash to the all-zero matrix whose
+    row sums vanish in the row normalisation (reference filters.py:705-707
+    divides by the row sum with no epsilon -> NaN; the reference never hits
+    this because network features are never exactly zero).  Start CCM at
+    the raw preimage of the identity matrix instead."""
     out = {}
     for i, name in enumerate(stage_names):
         n = bank.REGISTRY[name].n_params
-        out[f"{i}_{name}"] = jnp.zeros((1, n), jnp.float32)
+        if name == "ccm":
+            lo, hi = cfg.ccm_range
+            target = np.eye(3, dtype=np.float64).reshape(1, 9)
+            feat = np.arctanh(2.0 * (target - lo) / (hi - lo) - 1.0)
+            out[f"{i}_{name}"] = jnp.asarray(feat, jnp.float32)
+        else:
+            out[f"{i}_{name}"] = jnp.zeros((1, n), jnp.float32)
     return out
 
 
