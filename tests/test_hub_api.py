@@ -50,3 +50,47 @@ def test_detections_accessors(detector, tmp_path):
     crops = res.crop()
     for c in crops:
         assert c["im"].ndim == 3 and c["im"].size > 0
+
+
+def test_rest_serving(detector, tmp_path):
+    """POST an image to the stdlib REST shim, get detection JSON back
+    (reference utils/flask_rest_api capability)."""
+    import io
+    import json
+    import urllib.request
+
+    from PIL import Image
+
+    from adaptiveisp_tpu.serve.rest import ROUTE, DetectionServer
+
+    srv = DetectionServer(detector, port=0, size=64,
+                          conf_thres=0.001).start()
+    try:
+        # health
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/healthz", timeout=30) as r:
+            assert json.load(r) == {"status": "ok"}
+        # predict
+        rng = np.random.RandomState(2)
+        buf = io.BytesIO()
+        Image.fromarray((rng.rand(48, 64, 3) * 255).astype(np.uint8)).save(
+            buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{ROUTE}", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.load(r)
+        assert isinstance(out, list)
+        for d in out:
+            assert set(d) == {"xmin", "ymin", "xmax", "ymax", "confidence",
+                              "class", "name"}
+        # bad payload -> 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{ROUTE}", data=b"not an image")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
