@@ -164,6 +164,19 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                 res, dets, nvalid = eval_fused(
                     agent_variables, yolo_variables, im, noises, states,
                     pipe_arr)
+        # start the device->host copies now so they overlap the next
+        # batch's compute; consume()'s device_get then returns from the
+        # already-landed host buffers instead of paying a fresh round trip
+        to_fetch = [dets, nvalid, res.selected]
+        if save_image and res.images_per_step is not None:
+            to_fetch.append(res.images_per_step)
+        if save_param and res.params is not None:
+            to_fetch.append(res.params)
+        for arr in to_fetch:
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                break
         return batch, nb, (im.shape[1], im.shape[2]), res, dets, nvalid
 
     def consume(work):

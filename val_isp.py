@@ -32,6 +32,12 @@ def parse_args(argv=None):
     p.add_argument("--project", type=str, default="runs/val-adaptiveisp")
     p.add_argument("--name", type=str, default="exp")
     p.add_argument("--cfg", type=str, default=None)
+    p.add_argument("--profile", action="store_true", default=False,
+                   help="synced per-bucket kernel attribution instead of "
+                        "the pipelined steady-state loop")
+    p.add_argument("--save_json", action="store_true", default=False)
+    p.add_argument("--anno_json", type=str, default=None,
+                   help="COCO annotations for pycocotools rescoring")
     return p.parse_args(argv)
 
 
@@ -72,7 +78,9 @@ def main(argv=None):
         iou_thres=args.iou_thres, max_det=args.max_det,
         batch_size=args.batch_size, pipeline=args.pipeline,
         save_dir=save_dir, save_image=args.save_image,
-        save_param=args.save_param, max_images=args.max_images)
+        save_param=args.save_param, max_images=args.max_images,
+        profile=args.profile, save_json=args.save_json,
+        anno_json=args.anno_json)
     print(f"{'Class':>22s}{'P':>11s}{'R':>11s}{'mAP50':>11s}{'mAP50-95':>11s}")
     print(f"{'all':>22s}{res['precision']:11.3g}{res['recall']:11.3g}"
           f"{res['map50']:11.3g}{res['map']:11.3g}")
@@ -80,6 +88,7 @@ def main(argv=None):
         print(f"{row['class']:>22s}{row['precision']:11.3g}"
               f"{row['recall']:11.3g}{row['map50']:11.3g}{row['map']:11.3g}")
     print(res["speed"])
+    print(f"wall: {res['wall_ms_per_img']:.1f} ms/img")
     return res
 
 
