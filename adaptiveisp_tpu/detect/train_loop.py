@@ -172,7 +172,8 @@ class DetectorTrainer:
                  hyp: Optional[LossHyp] = None,
                  save_dir: Optional[str] = None,
                  multi_scale: bool = False,
-                 val_batches: Optional[int] = None):
+                 val_batches: Optional[int] = None,
+                 mesh=None):
         self.model = model
         self.spec = spec
         self.train_ds = train_ds
@@ -183,14 +184,28 @@ class DetectorTrainer:
         self.hyp = hyp or LossHyp(obj=1.0 * (imgsz / 640) ** 2)
         self.save_dir = save_dir
         self.val_batches = val_batches
+        self.mesh = mesh
 
         self.tx, self._lr_fn = make_warmup_optimizer(
             self.cfg, self.steps_per_epoch)
         step_fn = make_detector_train_step(
             model, anchors_in_grid_units(spec), self.hyp, self.tx,
             ema_decay=self.cfg.ema_decay)
-        self.step_fn = jax.jit(step_fn)
         self.state = init_detector_train_state(variables, self.tx)
+        if mesh is None:
+            self.step_fn = jax.jit(step_fn)
+        else:
+            # DP over the mesh (the reference trainer's DDP, yolov3/
+            # train.py:539): params/opt/EMA replicated, batch sharded on
+            # axis 0; XLA inserts the psum gradient reduction AND computes
+            # BatchNorm batch statistics globally across shards (better
+            # than torch DDP's per-replica BN)
+            from adaptiveisp_tpu.train import mesh as mesh_lib
+
+            rep = mesh_lib.replicated(mesh)
+            self.step_fn = jax.jit(step_fn,
+                                   in_shardings=(rep, None, None, None))
+            self.state = mesh_lib.replicate(mesh, self.state)
         self.stopper = EarlyStopping(self.cfg.patience)
         self.best_fitness = 0.0
         self.history: List[EpochLog] = []
@@ -220,9 +235,13 @@ class DetectorTrainer:
         losses = []
         for images, targets, tmask in self.train_ds.epoch_batches():
             images = self._maybe_rescale(images)
-            self.state, out = self.step_fn(
-                self.state, jnp.asarray(images), jnp.asarray(targets),
-                jnp.asarray(tmask))
+            batch = (jnp.asarray(images), jnp.asarray(targets),
+                     jnp.asarray(tmask))
+            if self.mesh is not None:
+                from adaptiveisp_tpu.train import mesh as mesh_lib
+
+                batch = mesh_lib.shard_batch(self.mesh, batch)
+            self.state, out = self.step_fn(self.state, *batch)
             losses.append(float(out["loss"]))
         return float(np.mean(losses)) if losses else float("nan")
 
@@ -303,6 +322,8 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--nc", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-dir", default="runs/train-det")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel over the first N devices")
     args = p.parse_args(argv)
 
     from adaptiveisp_tpu.detect.model import create_detector
@@ -328,9 +349,14 @@ def main(argv: Optional[Sequence[str]] = None):
         jax.random.PRNGKey(args.seed), spec=spec, imgsz=args.imgsz)
     cfg = DetTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                          lr0=args.lr0, patience=args.patience)
+    mesh = None
+    if args.dp:
+        from adaptiveisp_tpu.train.mesh import make_mesh
+
+        mesh = make_mesh(args.dp)
     trainer = DetectorTrainer(model, variables, spec, train_ds, val_ds,
                               cfg=cfg, save_dir=args.save_dir,
-                              multi_scale=args.multi_scale)
+                              multi_scale=args.multi_scale, mesh=mesh)
     history = trainer.fit()
     for log in history:
         print(f"epoch {log.epoch}: loss {log.loss:.4f} lr {log.lr:.5f} "

@@ -322,3 +322,51 @@ def test_trainer_multi_scale_sizes():
     imgs = np.zeros((2, 96, 96, 3), np.float32)
     out = DetectorTrainer._maybe_rescale(trainer, imgs)
     assert out.shape[1] in trainer.sizes
+
+
+def test_trainer_dp_mesh_matches_single_device(shapes_dataset):
+    """DP over a 4-device mesh reproduces the single-device first step
+    (replicated params, sharded batch; XLA's psum gradient reduction and
+    cross-shard BatchNorm statistics keep the math identical)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptiveisp_tpu.detect.model import create_detector
+    from adaptiveisp_tpu.detect.train_detector import DetTrainConfig
+    from adaptiveisp_tpu.detect.train_loop import DetectorTrainer
+    from adaptiveisp_tpu.train.mesh import make_mesh
+
+    spec = {
+        "nc": 2,
+        "anchors": [[10, 14, 23, 27, 37, 58],
+                    [81, 82, 135, 169, 344, 319]],
+        "backbone": [[-1, 1, "Conv", [8, 3, 2]],
+                     [-1, 1, "Conv", [16, 3, 2]],
+                     [-1, 1, "Conv", [16, 3, 2]],   # 2: /8  -> P4 source
+                     [-1, 1, "Conv", [16, 3, 2]],
+                     [-1, 1, "Conv", [16, 3, 2]]],  # 4: /32 -> P5 source
+        "head": [[[3, 4], 1, "Detect", ["nc", "anchors"]]],
+    }
+    cfg = DetTrainConfig(epochs=1, batch_size=4)
+    ds = DetectorDataset(shapes_dataset, img_size=96, batch_size=4,
+                         augment=False, nc=2, seed=3)
+    images, targets, tmask = next(iter(ds.epoch_batches(shuffle=False)))
+    batch = (jnp.asarray(images), jnp.asarray(targets), jnp.asarray(tmask))
+
+    model, variables = create_detector(jax.random.PRNGKey(0), spec=spec,
+                                       imgsz=96)
+    single = DetectorTrainer(model, variables, spec, ds, cfg=cfg)
+    s_state, s_out = single.step_fn(single.state, *batch)
+
+    mesh = make_mesh(4)
+    dp = DetectorTrainer(model, variables, spec, ds, cfg=cfg, mesh=mesh)
+    from adaptiveisp_tpu.train.mesh import shard_batch
+
+    d_state, d_out = dp.step_fn(dp.state, *shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(float(s_out["loss"]), float(d_out["loss"]),
+                               rtol=2e-4)
+    # a couple of parameter leaves after the update
+    s_leaf = np.asarray(jax.tree_util.tree_leaves(s_state.params)[0])
+    d_leaf = np.asarray(jax.tree_util.tree_leaves(d_state.params)[0])
+    np.testing.assert_allclose(s_leaf, d_leaf, rtol=2e-3, atol=2e-5)
