@@ -137,6 +137,10 @@ class DetectionModel(nn.Module):
             elif mod == "ZeroPad":
                 l, r, t, b = args[0]
                 y = jnp.pad(inp, ((0, 0), (t, b), (l, r), (0, 0)))
+            elif mod == "Identity":
+                # passthrough terminal row (the classification fork runs a
+                # detection spec's backbone without a Detect head)
+                y = inp
             elif mod == "Detect":
                 y = DetectHead(nc=nc, na=na, name=f"l{i}")(inp)
             else:
