@@ -185,6 +185,26 @@ class Focus(nn.Module):
                          name="conv")(y, train=train)
 
 
+class Proto(nn.Module):
+    """Mask prototype tower for segmentation (reference common.py:838-848):
+    Conv3x3 -> nearest 2x upsample -> Conv3x3 -> Conv1x1 to `nm` channels,
+    run on the highest-resolution detection feature map."""
+
+    npr: int = 256
+    nm: int = 32
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNAct(self.npr, 3, 1, dtype=self.dtype,
+                      name="cv1")(x, train=train)
+        x = upsample_nearest_2x(x)
+        x = ConvBNAct(self.npr, 3, 1, dtype=self.dtype,
+                      name="cv2")(x, train=train)
+        return ConvBNAct(self.nm, 1, 1, dtype=self.dtype,
+                         name="cv3")(x, train=train)
+
+
 def upsample_nearest_2x(x):
     n, h, w, c = x.shape
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)

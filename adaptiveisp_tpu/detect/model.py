@@ -59,6 +59,32 @@ class DetectHead(nn.Module):
         return outs
 
 
+class SegmentHead(nn.Module):
+    """Detect head + mask coefficients + Proto tower (reference
+    yolo.py:92-106): each level emits na*(5+nc+nm) channels; the prototype
+    masks come from the FIRST (highest-resolution) input."""
+
+    nc: int
+    na: int
+    nm: int = 32
+    npr: int = 256
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        from adaptiveisp_tpu.detect.layers import Proto
+
+        no = self.nc + 5 + self.nm
+        outs = []
+        for i, x in enumerate(xs):
+            y = nn.Conv(self.na * no, kernel_size=(1, 1), use_bias=True,
+                        name=f"m{i}")(x.astype(jnp.float32))
+            n, ny, nx, _ = y.shape
+            outs.append(y.reshape(n, ny, nx, self.na, no))
+        proto = Proto(npr=self.npr, nm=self.nm,
+                      name="proto")(xs[0], train=train)
+        return outs, proto
+
+
 class DetectionModel(nn.Module):
     """Executes a declarative layer spec (backbone + head).
 
@@ -143,10 +169,15 @@ class DetectionModel(nn.Module):
                 y = inp
             elif mod == "Detect":
                 y = DetectHead(nc=nc, na=na, name=f"l{i}")(inp)
+            elif mod == "Segment":
+                nm = args[2] if len(args) > 2 else 32
+                npr = args[3] if len(args) > 3 else 256
+                y = SegmentHead(nc=nc, na=na, nm=nm, npr=ch(npr),
+                                name=f"l{i}")(inp, train=train)
             else:
                 raise ValueError(f"Unknown module {mod}")
             outputs.append(y)
-            x = y if not isinstance(y, list) else x
+            x = y if not isinstance(y, (list, tuple)) else x
         return outputs[-1]
 
 
@@ -176,10 +207,14 @@ def decode_predictions(preds: Sequence[jnp.ndarray], spec=None):
     """
     spec = spec or YOLOV3_SPEC
     strides = model_strides(spec)
+    nc = spec["nc"]
     zs = []
     for lvl, (p, stride) in enumerate(zip(preds, strides)):
         n, ny, nx, na, no = p.shape
-        y = nn.sigmoid(p)
+        # mask coefficients (no > 5 + nc, segmentation) stay RAW — the
+        # reference sigmoids only xy/wh/conf for Segment (yolo.py:67-71)
+        y = jnp.concatenate(
+            [nn.sigmoid(p[..., :5 + nc]), p[..., 5 + nc:]], axis=-1)
         gy = jnp.arange(ny, dtype=p.dtype)
         gx = jnp.arange(nx, dtype=p.dtype)
         gxv, gyv = jnp.meshgrid(gx, gy)  # [ny, nx]

@@ -49,18 +49,25 @@ def _exact_top_k(scores, k: int):
 @functools.partial(
     jax.jit,
     static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms",
-                     "multi_label", "agnostic", "block"))
+                     "multi_label", "agnostic", "block", "nm"))
 def non_max_suppression(prediction, conf_thres: float = 0.25,
                         iou_thres: float = 0.45, max_det: int = 300,
                         max_nms: int = 4096, multi_label: bool = False,
-                        agnostic: bool = False, block: int = 512):
-    """prediction: [N, n_boxes, 5+nc] decoded (xywh, obj, cls-probs).
+                        agnostic: bool = False, block: int = 512,
+                        nm: int = 0):
+    """prediction: [N, n_boxes, 5+nc(+nm)] decoded (xywh, obj, cls-probs,
+    and with nm > 0 the raw mask coefficients of a segmentation head).
 
-    Returns (detections [N, max_det, 6], n_valid [N]).
+    Returns (detections [N, max_det, 6], n_valid [N]); with nm > 0 a third
+    output carries each kept detection's mask coefficients
+    [N, max_det, nm] (the reference's segment NMS keeps them in the output
+    rows, utils/general.py nm argument).
     """
 
     def one_image(x):
-        nc = x.shape[1] - 5
+        nc = x.shape[1] - 5 - nm
+        extra = x[:, 5 + nc:]  # [n, nm]
+        x = x[:, :5 + nc]
         obj = x[:, 4]
         cand = obj > conf_thres
         box = xywh2xyxy(x[:, :4])
@@ -75,6 +82,7 @@ def non_max_suppression(prediction, conf_thres: float = 0.25,
             top_scores, top_i = _exact_top_k(scores, k)
             top_boxes = box[top_i // nc]
             top_cls = (top_i % nc).astype(jnp.float32)
+            top_extra = extra[top_i // nc] if nm else None
         else:
             best_cls = jnp.argmax(cls_conf, axis=1)
             scores = cls_conf[jnp.arange(x.shape[0]), best_cls]
@@ -83,6 +91,7 @@ def non_max_suppression(prediction, conf_thres: float = 0.25,
             top_scores, top_i = _exact_top_k(scores, k)
             top_boxes = box[top_i]
             top_cls = best_cls[top_i].astype(jnp.float32)
+            top_extra = extra[top_i] if nm else None
         top_valid = top_scores > conf_thres
 
         # class offset: boxes of different classes never overlap
@@ -156,6 +165,9 @@ def non_max_suppression(prediction, conf_thres: float = 0.25,
             top_cls[sel][:, None],
         ], axis=1)
         out = jnp.where(det_valid[:, None], out, 0.0)
+        if nm:
+            out_extra = jnp.where(det_valid[:, None], top_extra[sel], 0.0)
+            return out, det_valid.sum(), out_extra
         return out, det_valid.sum()
 
     return jax.vmap(one_image)(prediction)

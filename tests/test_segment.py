@@ -1,0 +1,136 @@
+"""Instance-segmentation stack (reference segment fork)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adaptiveisp_tpu.detect.model import create_detector, decode_predictions
+from adaptiveisp_tpu.detect.nms import non_max_suppression
+from adaptiveisp_tpu.detect.segment import (
+    crop_mask,
+    mask_iou,
+    process_mask,
+    seg_spec_from,
+)
+
+RNG = np.random.RandomState(9)
+
+DET_SPEC = {
+    "nc": 3,
+    "anchors": [[10, 14, 23, 27, 37, 58], [81, 82, 135, 169, 344, 319]],
+    "backbone": [
+        [-1, 1, "Conv", [8, 3, 2]],
+        [-1, 1, "Conv", [16, 3, 2]],
+        [-1, 1, "Conv", [16, 3, 2]],   # 2: /8
+        [-1, 1, "Conv", [16, 3, 2]],   # 3: /16
+        [-1, 1, "Conv", [16, 3, 2]],   # 4: /32
+    ],
+    "head": [[[3, 4], 1, "Detect", ["nc", "anchors"]]],
+}
+SEG_SPEC = seg_spec_from(DET_SPEC, nm=8, npr=16)
+
+
+def test_seg_spec_from():
+    assert SEG_SPEC["head"][-1][2] == "Segment"
+    assert SEG_SPEC["head"][-1][3][-2:] == [8, 16]
+    # the source spec is untouched
+    assert DET_SPEC["head"][-1][2] == "Detect"
+
+
+def test_crop_mask_zeroes_outside_box():
+    masks = jnp.ones((2, 8, 8))
+    boxes = jnp.asarray([[2.0, 2.0, 6.0, 5.0], [0.0, 0.0, 8.0, 8.0]])
+    out = np.asarray(crop_mask(masks, boxes))
+    assert out[0].sum() == 4 * 3          # cols [2,6), rows [2,5)
+    assert out[0, 2, 2] == 1 and out[0, 1, 2] == 0 and out[0, 2, 6] == 0
+    assert out[1].sum() == 64
+
+
+def test_process_mask_shapes_and_crop():
+    mh, mw, nm = 16, 16, 8
+    proto = jnp.asarray(RNG.randn(mh, mw, nm).astype(np.float32))
+    coeffs = jnp.asarray(RNG.randn(3, nm).astype(np.float32) * 4)
+    boxes = jnp.asarray([[8.0, 8.0, 40.0, 40.0],
+                         [0.0, 0.0, 64.0, 64.0],
+                         [48.0, 48.0, 64.0, 64.0]])
+    masks = np.asarray(process_mask(proto, coeffs, boxes, (64, 64)))
+    assert masks.shape == (3, 64, 64)
+    assert set(np.unique(masks)).issubset({0.0, 1.0})
+    # pixels clearly outside box 0 are zero (up to bilinear bleed of one
+    # mask cell = 4 input pixels)
+    assert masks[0, :2, :].sum() == 0 and masks[0, :, :2].sum() == 0
+
+
+def test_mask_iou_values():
+    a = np.zeros((2, 8 * 8), np.float32)
+    b = np.zeros((2, 8 * 8), np.float32)
+    a[0, :32] = 1   # first half
+    b[0, :32] = 1   # identical -> IoU 1
+    a[1, :32] = 1
+    b[1, 16:48] = 1  # half overlap -> IoU 16/48
+    m = np.asarray(mask_iou(jnp.asarray(a), jnp.asarray(b)))
+    assert m[0, 0] == pytest.approx(1.0, abs=1e-5)
+    assert m[1, 1] == pytest.approx(16 / 48, abs=1e-5)
+
+
+def test_segment_model_forward_and_decode():
+    model, variables = create_detector(jax.random.PRNGKey(0), spec=SEG_SPEC,
+                                       imgsz=64)
+    x = jnp.asarray(RNG.rand(2, 64, 64, 3).astype(np.float32))
+    preds, proto = model.apply(variables, x, train=False)
+    assert len(preds) == 2
+    assert preds[0].shape == (2, 4, 4, 3, 5 + 3 + 8)   # /16 level
+    assert preds[1].shape == (2, 2, 2, 3, 5 + 3 + 8)   # /32 level
+    # proto: first input (/16) upsampled 2x -> /8, nm channels
+    assert proto.shape == (2, 8, 8, 8)
+
+    dec = decode_predictions(preds, SEG_SPEC)
+    assert dec.shape == (2, (16 + 4) * 3, 16)
+    # conf/cls sigmoided into (0,1); mask coeffs stay raw (can exceed 1)
+    conf = np.asarray(dec[..., 4:8])
+    assert (conf > 0).all() and (conf < 1).all()
+    raw = np.asarray(dec[..., 8:])
+    raw_in = np.concatenate([np.asarray(p[..., 8:]).reshape(2, -1, 8)
+                             for p in preds], axis=1)
+    np.testing.assert_allclose(raw, raw_in, rtol=1e-6)
+
+
+def test_nms_mask_coefficient_passthrough():
+    n, nc, nm = 32, 2, 4
+    pred = np.zeros((1, n, 5 + nc + nm), np.float32)
+    pred[0, :, 0] = np.linspace(20, 400, n)
+    pred[0, :, 1] = 50.0
+    pred[0, :, 2:4] = 10.0
+    pred[0, :, 4] = np.linspace(0.9, 0.3, n)
+    pred[0, :, 5] = 0.8
+    pred[0, :, 7:] = RNG.randn(n, nm)
+
+    dets, nvalid, coeffs = non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.1, iou_thres=0.5, max_det=16,
+        max_nms=32, multi_label=False, nm=nm)
+    k = int(nvalid[0])
+    assert k > 0
+    dets, coeffs = np.asarray(dets[0]), np.asarray(coeffs[0])
+    # every kept detection's coefficients equal its source box's row
+    cx = dets[:k, 0] + (dets[:k, 2] - dets[:k, 0]) / 2
+    for i in range(k):
+        src = int(np.argmin(np.abs(pred[0, :, 0] - cx[i])))
+        np.testing.assert_allclose(coeffs[i], pred[0, src, 7:], rtol=1e-5)
+    # padded rows zeroed
+    assert (coeffs[k:] == 0).all()
+
+
+def test_nms_multilabel_mask_passthrough():
+    pred = np.zeros((1, 4, 5 + 3 + 2), np.float32)
+    pred[0, 0] = [50, 50, 20, 20, 0.9, 0.8, 0.7, 0.01, 1.5, -2.5]
+    pred[0, 1] = [200, 200, 20, 20, 0.9, 0.01, 0.01, 0.9, 3.0, 4.0]
+    dets, nvalid, coeffs = non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45, max_det=8,
+        max_nms=16, multi_label=True, nm=2)
+    assert int(nvalid[0]) == 3  # box0 x classes {0,1}, box1 x class 2
+    coeffs = np.asarray(coeffs[0])
+    dets = np.asarray(dets[0])
+    for i in range(3):
+        want = [1.5, -2.5] if dets[i, 0] < 100 else [3.0, 4.0]
+        np.testing.assert_allclose(coeffs[i], want, rtol=1e-5)
