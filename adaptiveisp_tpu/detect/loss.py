@@ -78,19 +78,16 @@ def focal_modulation(logits, targets, loss, gamma: float, alpha: float = 0.25):
     return loss * alpha_factor * (1.0 - p_t) ** gamma
 
 
-def _level_terms(pred, targets, tmask, anchors, hyp: LossHyp):
-    """Masked loss terms for one image at one detection level.
+def _candidate_table(shape, targets, tmask, anchors, hyp: LossHyp):
+    """Static-shape target-assignment table for one image at one level
+    (reference build_targets, loss.py:205-231): every (offset, anchor,
+    target) triple with a validity mask.
 
-    pred: [ny, nx, na, no]; targets: [T, 5] (cls, xywh normalised);
-    tmask: [T] validity; anchors: [na, 2] in grid units.
-    Returns (box_err_sum, n_matched, obj_bce_mean_tensor, cls_bce_sum,
-    n_cls_rows).
-    """
-    ny, nx, na, no = pred.shape
-    nc = no - 5
+    shape: (ny, nx, na); returns (validf [5,na,T], gi_b, gj_b, a_b int32
+    [5,na,T], tbox [5,na,T,4], anc [5,na,T,2], n_matched scalar)."""
+    ny, nx, na = shape
     T = targets.shape[0]
 
-    tcls = targets[:, 0].astype(jnp.int32)
     gxy = targets[:, 1:3] * jnp.array([nx, ny], jnp.float32)  # grid xy
     gwh = targets[:, 3:5] * jnp.array([nx, ny], jnp.float32)
 
@@ -132,6 +129,24 @@ def _level_terms(pred, targets, tmask, anchors, hyp: LossHyp):
         jnp.broadcast_to(gwh[None, None, :, :], (5, na, T, 2)),
     ], axis=-1)                                              # [5, na, T, 4]
     anc = jnp.broadcast_to(anchors[None, :, None, :], (5, na, T, 2))
+    return validf, gi_b, gj_b, a_b, tbox, anc, n_matched
+
+
+def _level_terms(pred, targets, tmask, anchors, hyp: LossHyp):
+    """Masked loss terms for one image at one detection level.
+
+    pred: [ny, nx, na, no]; targets: [T, 5] (cls, xywh normalised);
+    tmask: [T] validity; anchors: [na, 2] in grid units.
+    Returns (box_err_sum, n_matched, obj_bce_mean_tensor, cls_bce_sum,
+    n_cls_rows).
+    """
+    ny, nx, na, no = pred.shape
+    nc = no - 5
+    T = targets.shape[0]
+
+    tcls = targets[:, 0].astype(jnp.int32)
+    validf, gi_b, gj_b, a_b, tbox, anc, n_matched = _candidate_table(
+        (ny, nx, na), targets, tmask, anchors, hyp)
 
     # ---- gather predictions (loss.py:281) -------------------------------
     p = pred[gj_b, gi_b, a_b]                                # [5, na, T, no]

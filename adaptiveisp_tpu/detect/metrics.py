@@ -112,19 +112,13 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
     return tp_count, fp_count, p, r, f1, ap, unique_classes.astype(int)
 
 
-def process_batch(detections: np.ndarray, labels: np.ndarray,
-                  iouv: np.ndarray) -> np.ndarray:
-    """Correct-prediction matrix at 10 IoU thresholds
-    (reference val_adaptiveisp.py:79-101).
-
-    detections: [N, 6] (xyxy, conf, cls); labels: [M, 5] (cls, xyxy).
-    Returns bool [N, len(iouv)].
-    """
-    correct = np.zeros((detections.shape[0], iouv.shape[0]), bool)
-    if detections.shape[0] == 0 or labels.shape[0] == 0:
-        return correct
-    iou = box_iou_np(labels[:, 1:], detections[:, :4])
-    correct_class = labels[:, 0:1] == detections[:, 5]
+def correct_from_iou(iou: np.ndarray, correct_class: np.ndarray,
+                     iouv: np.ndarray) -> np.ndarray:
+    """Greedy unique matching at each IoU threshold given a precomputed
+    label-x-detection IoU matrix (the matching rule of
+    val_adaptiveisp.py:79-101) — shared by box mAP (box IoU) and mask mAP
+    (mask IoU)."""
+    correct = np.zeros((iou.shape[1], iouv.shape[0]), bool)
     for i in range(len(iouv)):
         li, di = np.where((iou >= iouv[i]) & correct_class)
         if li.shape[0]:
@@ -135,6 +129,21 @@ def process_batch(detections: np.ndarray, labels: np.ndarray,
                 matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
             correct[matches[:, 1].astype(int), i] = True
     return correct
+
+
+def process_batch(detections: np.ndarray, labels: np.ndarray,
+                  iouv: np.ndarray) -> np.ndarray:
+    """Correct-prediction matrix at 10 IoU thresholds
+    (reference val_adaptiveisp.py:79-101).
+
+    detections: [N, 6] (xyxy, conf, cls); labels: [M, 5] (cls, xyxy).
+    Returns bool [N, len(iouv)].
+    """
+    if detections.shape[0] == 0 or labels.shape[0] == 0:
+        return np.zeros((detections.shape[0], iouv.shape[0]), bool)
+    iou = box_iou_np(labels[:, 1:], detections[:, :4])
+    correct_class = labels[:, 0:1] == detections[:, 5]
+    return correct_from_iou(iou, correct_class, iouv)
 
 
 class ConfusionMatrix:

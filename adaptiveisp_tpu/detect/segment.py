@@ -99,6 +99,91 @@ def masks_to_segments(masks):
 
 
 # --------------------------------------------------------------------------- #
+# segmentation loss (reference utils/segment/loss.py)
+# --------------------------------------------------------------------------- #
+def _level_mask_terms(pred, proto, targets, tmask, gt_masks, anchors, hyp,
+                      nc: int):
+    """Mask-loss terms for one image at one level.
+
+    pred: [ny, nx, na, 5+nc+nm]; proto: [mh, mw, nm]; targets [T, 5];
+    gt_masks: [T, mh, mw] binary at proto resolution.  Uses the SAME
+    candidate table as the detection loss; per matched candidate the loss
+    is crop(BCE(pred_mask, gt_mask)).mean-over-all-pixels / normalized-area
+    (reference single_mask_loss, utils/segment/loss.py:111-115)."""
+    from adaptiveisp_tpu.detect.loss import (
+        _candidate_table, bce_with_logits)
+
+    ny, nx, na, no = pred.shape
+    nm = no - 5 - nc
+    T = targets.shape[0]
+    mh, mw, _ = proto.shape
+
+    validf, gi_b, gj_b, a_b, _, _, n_matched = _candidate_table(
+        (ny, nx, na), targets, tmask, anchors, hyp)
+
+    p = pred[gj_b, gi_b, a_b]                       # [5, na, T, no]
+    coeffs = p[..., 5 + nc:]                        # [5, na, T, nm]
+    logits = jnp.einsum("oatm,hwm->oathw", coeffs, proto)
+
+    gt = jnp.broadcast_to(gt_masks[None, None], (5, na, T, mh, mw))
+    bce = bce_with_logits(logits, gt)               # [5, na, T, mh, mw]
+
+    # crop to the target box at mask scale; normalize by normalized area
+    xywhn = targets[:, 1:5]
+    scale = jnp.asarray([mw, mh, mw, mh], jnp.float32)
+    xyxy = jnp.concatenate([xywhn[:, :2] - xywhn[:, 2:] / 2,
+                            xywhn[:, :2] + xywhn[:, 2:] / 2],
+                           axis=-1) * scale[None, :]
+    bce_flat = bce.reshape(-1, mh, mw)
+    boxes_flat = jnp.broadcast_to(xyxy[None, None], (5, na, T, 4)
+                                  ).reshape(-1, 4)
+    cropped = crop_mask(bce_flat, boxes_flat).reshape(5, na, T, mh, mw)
+    area = jnp.maximum(xywhn[:, 2] * xywhn[:, 3], 1e-9)     # [T]
+    per_cand = cropped.mean(axis=(3, 4)) / area[None, None, :]
+    return (per_cand * validf).sum(), n_matched
+
+
+def per_image_seg_loss(preds, proto, targets, tmask, gt_masks,
+                       anchors_grid, hyp):
+    """Detection loss + mask loss for ONE image (reference
+    utils/segment/loss.py __call__ semantics: lseg aggregated per level,
+    scaled by hyp.box like lbox)."""
+    from adaptiveisp_tpu.detect.loss import per_image_loss
+
+    nc = preds[0].shape[-1] - 5 - proto.shape[-1]
+    # detection terms see only the 5+nc channels (cls BCE must not span
+    # the mask coefficients)
+    total, comps = per_image_loss(
+        [p[..., :5 + nc] for p in preds], targets, tmask,
+        anchors_grid, hyp)
+    lseg = jnp.asarray(0.0)
+    for i, pred in enumerate(preds):
+        s, n = _level_mask_terms(pred, proto, targets, tmask, gt_masks,
+                                 jnp.asarray(anchors_grid[i]), hyp, nc)
+        has = (n > 0).astype(jnp.float32)
+        lseg = lseg + has * s / jnp.maximum(n, 1.0)
+    lseg = lseg * hyp.box
+    comps = dict(comps, seg=lseg)
+    return total + lseg, comps
+
+
+def batch_seg_loss(preds, proto, targets, tmask, gt_masks, anchors_grid,
+                   hyp):
+    """Batch segmentation loss via vmap over images.
+
+    preds: per-level [N, ny, nx, na, no]; proto [N, mh, mw, nm]; targets
+    [N, T, 5]; tmask [N, T]; gt_masks [N, T, mh, mw]."""
+    def one(preds_one, proto_one, t, m, g):
+        return per_image_seg_loss(preds_one, proto_one, t, m, g,
+                                  anchors_grid, hyp)
+
+    totals, comps = jax.vmap(one)(
+        [p for p in preds], proto, targets, tmask, gt_masks)
+    return totals.mean() * targets.shape[0], jax.tree_util.tree_map(
+        lambda x: x.mean(), comps)
+
+
+# --------------------------------------------------------------------------- #
 # segmentation model specs
 # --------------------------------------------------------------------------- #
 def seg_spec_from(spec: Dict[str, Any], nm: int = 32,
@@ -112,3 +197,213 @@ def seg_spec_from(spec: Dict[str, Any], nm: int = 32,
     head[-1] = [frm, num, "Segment", list(args) + [nm, npr]]
     out["head"] = head
     return out
+
+
+# --------------------------------------------------------------------------- #
+# training + validation (reference segment/{train,val}.py loop shape)
+# --------------------------------------------------------------------------- #
+def make_segment_train_step(model, anchors_grid, hyp, tx,
+                            ema_decay: float = 0.9999):
+    """One jitted segmentation SGD step (det loss + mask loss)."""
+    import optax
+
+    from adaptiveisp_tpu.detect.train_detector import (
+        DetTrainState, ema_update)
+
+    def loss_fn(params, batch_stats, images, targets, tmask, gt_masks):
+        (preds, proto), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=True, mutable=["batch_stats"])
+        total, comps = batch_seg_loss(preds, proto, targets, tmask,
+                                      gt_masks, anchors_grid, hyp)
+        return total, (mut["batch_stats"], comps)
+
+    def step(state, images, targets, tmask, gt_masks):
+        (loss, (new_stats, comps)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, images,
+                                   targets, tmask, gt_masks)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params, ema_decay)
+        return (DetTrainState(params, new_stats, opt_state, ema,
+                              state.step + 1),
+                {"loss": loss, "components": comps})
+
+    return step
+
+
+def validate_segmenter(model, variables, dataset, spec, nm: int = 32,
+                       conf_thres: float = 0.001, iou_thres: float = 0.6,
+                       max_det: int = 100, max_batches=None,
+                       mask_thres: float = 0.5):
+    """Box + mask mAP over a SegmentDataset (reference segment/val.py /
+    ap_per_class_box_and_mask): both use the same greedy matching; boxes
+    match by box IoU, masks by mask IoU at the input resolution."""
+    from adaptiveisp_tpu.detect.boxes import xywh2xyxy
+    from adaptiveisp_tpu.detect.metrics import (
+        correct_from_iou, process_batch, summarize)
+    from adaptiveisp_tpu.detect.model import decode_predictions
+
+    iouv = np.linspace(0.5, 0.95, 10)
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    size = dataset.img_size
+    stats_box, stats_mask = [], []
+
+    for bi, (images, targets, tmask, gt_masks) in enumerate(
+            dataset.epoch_batches(shuffle=False)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        preds, proto = fwd(variables, jnp.asarray(images))
+        dec = decode_predictions(preds, spec)
+        dets, nvalid, coeffs = non_max_suppression_seg(
+            dec, nm=nm, conf_thres=conf_thres, iou_thres=iou_thres,
+            max_det=max_det)
+        dets = np.asarray(dets)
+        nvalid = np.asarray(nvalid)
+        coeffs_np = np.asarray(coeffs)
+
+        for i in range(images.shape[0]):
+            n = int(nvalid[i])
+            det = dets[i][:n]
+            tm = tmask[i]
+            t = targets[i][tm]
+            lab = np.zeros((len(t), 5), np.float32)
+            if len(t):
+                lab[:, 0] = t[:, 0]
+                lab[:, 1:] = np.asarray(
+                    xywh2xyxy(jnp.asarray(t[:, 1:] * size)))
+            correct_box = process_batch(det, lab, iouv)
+            stats_box.append((correct_box, det[:, 4], det[:, 5],
+                              lab[:, 0]))
+
+            # masks at input resolution
+            if n and len(t):
+                pm = np.asarray(process_mask(
+                    proto[i], jnp.asarray(coeffs_np[i][:n]),
+                    jnp.asarray(det[:, :4]), (size, size)))
+                gm = np.asarray(jax.image.resize(
+                    jnp.asarray(gt_masks[i][tm]),
+                    (len(t), size, size), method="nearest"))
+                miou = np.asarray(mask_iou(
+                    jnp.asarray(gm.reshape(len(t), -1)),
+                    jnp.asarray(pm.reshape(n, -1) > mask_thres,
+                                ).astype(jnp.float32)))
+                correct_class = lab[:, 0:1] == det[:, 5]
+                correct_mask = correct_from_iou(miou, correct_class, iouv)
+            else:
+                correct_mask = np.zeros((n, len(iouv)), bool)
+            stats_mask.append((correct_mask, det[:, 4], det[:, 5],
+                               lab[:, 0]))
+
+    box = summarize(stats_box)
+    mask = summarize(stats_mask)
+    return {"box": box, "mask": mask,
+            "fitness": 0.1 * (box["map50"] + mask["map50"]) / 2
+                       + 0.9 * (box["map"] + mask["map"]) / 2}
+
+
+def non_max_suppression_seg(prediction, nm: int, **kw):
+    from adaptiveisp_tpu.detect.nms import non_max_suppression
+
+    return non_max_suppression(prediction, multi_label=True, nm=nm, **kw)
+
+
+class SegmentTrainer:
+    """Epoch loop for the segmentation fork: train -> box+mask mAP ->
+    best/last -> EarlyStopping (reference segment/train.py shape)."""
+
+    def __init__(self, model, variables, spec, train_ds, val_ds=None,
+                 cfg=None, hyp=None, save_dir=None, nm: int = 32,
+                 mesh=None):
+        import pickle  # noqa: F401
+
+        from adaptiveisp_tpu.detect.loss import LossHyp
+        from adaptiveisp_tpu.detect.model import anchors_in_grid_units
+        from adaptiveisp_tpu.detect.train_detector import (
+            DetTrainConfig, EarlyStopping, init_detector_train_state)
+        from adaptiveisp_tpu.detect.train_loop import make_warmup_optimizer
+
+        self.model = model
+        self.spec = spec
+        self.nm = nm
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.cfg = cfg or DetTrainConfig()
+        self.save_dir = save_dir
+        self.mesh = mesh
+        imgsz = train_ds.img_size
+        self.hyp = hyp or LossHyp(obj=1.0 * (imgsz / 640) ** 2)
+        steps_per_epoch = max(1, len(train_ds) // train_ds.batch_size)
+        self.tx, self._lr_fn = make_warmup_optimizer(self.cfg,
+                                                     steps_per_epoch)
+        step_fn = make_segment_train_step(
+            model, anchors_in_grid_units(spec), self.hyp, self.tx,
+            ema_decay=self.cfg.ema_decay)
+        self.state = init_detector_train_state(variables, self.tx)
+        if mesh is None:
+            self.step_fn = jax.jit(step_fn)
+        else:
+            from adaptiveisp_tpu.train import mesh as mesh_lib
+
+            rep = mesh_lib.replicated(mesh)
+            self.step_fn = jax.jit(
+                step_fn, in_shardings=(rep, None, None, None, None))
+            self.state = mesh_lib.replicate(mesh, self.state)
+        self.stopper = EarlyStopping(self.cfg.patience)
+        self.best_fitness = 0.0
+        self.history = []
+
+    def _ema_variables(self):
+        return {"params": self.state.ema.params,
+                "batch_stats": self.state.batch_stats}
+
+    def _save(self, name):
+        import os
+        import pickle
+
+        if self.save_dir is None:
+            return
+        os.makedirs(self.save_dir, exist_ok=True)
+        payload = {"model": jax.device_get(
+                       {"params": self.state.params,
+                        "batch_stats": self.state.batch_stats}),
+                   "ema": jax.device_get(self.state.ema.params),
+                   "best_fitness": self.best_fitness}
+        with open(os.path.join(self.save_dir, name), "wb") as f:
+            pickle.dump(payload, f)
+
+    def fit(self, epochs=None):
+        import time
+
+        epochs = epochs or self.cfg.epochs
+        for epoch in range(epochs):
+            t0 = time.time()
+            losses = []
+            for images, targets, tmask, masks in (
+                    self.train_ds.epoch_batches()):
+                batch = (jnp.asarray(images), jnp.asarray(targets),
+                         jnp.asarray(tmask), jnp.asarray(masks))
+                if self.mesh is not None:
+                    from adaptiveisp_tpu.train import mesh as mesh_lib
+
+                    batch = mesh_lib.shard_batch(self.mesh, batch)
+                self.state, out = self.step_fn(self.state, *batch)
+                losses.append(float(out["loss"]))
+            metrics = {"box": {"map50": 0.0, "map": 0.0},
+                       "mask": {"map50": 0.0, "map": 0.0}, "fitness": 0.0}
+            if self.val_ds is not None:
+                metrics = validate_segmenter(
+                    self.model, self._ema_variables(), self.val_ds,
+                    self.spec, nm=self.nm)
+            fit = metrics["fitness"]
+            if fit >= self.best_fitness:
+                self.best_fitness = fit
+                self._save("best.pkl")
+            self._save("last.pkl")
+            self.history.append({"epoch": epoch,
+                                 "loss": float(np.mean(losses)),
+                                 "metrics": metrics,
+                                 "seconds": time.time() - t0})
+            if self.stopper(epoch, fit):
+                break
+        return self.history

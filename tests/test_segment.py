@@ -134,3 +134,123 @@ def test_nms_multilabel_mask_passthrough():
     for i in range(3):
         want = [1.5, -2.5] if dets[i, 0] < 100 else [3.0, 4.0]
         np.testing.assert_allclose(coeffs[i], want, rtol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# dataset / loss / trainer
+# --------------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def polygon_dataset(tmp_path_factory):
+    """Images with one bright rectangle; polygon label = its 4 corners."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("seg")
+    img_dir = root / "images"
+    lbl_dir = root / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    rng = np.random.RandomState(4)
+    n, size = 8, 64
+    for i in range(n):
+        im = rng.rand(size, size, 3).astype(np.float32) * 0.15
+        w, h = rng.randint(20, 40), rng.randint(20, 40)
+        x0 = rng.randint(2, size - w - 2)
+        y0 = rng.randint(2, size - h - 2)
+        im[y0:y0 + h, x0:x0 + w] = (0.9, 0.2, 0.2)
+        Image.fromarray((im * 255).astype(np.uint8)).save(
+            img_dir / f"s{i}.png")
+        pts = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                        [x0, y0 + h]], np.float32) / size
+        (lbl_dir / f"s{i}.txt").write_text(
+            "0 " + " ".join(f"{v:.6f}" for v in pts.reshape(-1)) + "\n")
+    return str(img_dir)
+
+
+def test_segment_dataset_masks_align_with_boxes(polygon_dataset):
+    from adaptiveisp_tpu.data.segment_dataset import SegmentDataset
+
+    ds = SegmentDataset(polygon_dataset, img_size=64, batch_size=4,
+                        mask_ratio=4)
+    img, targets, masks = ds[0]
+    assert img.shape == (64, 64, 3)
+    assert targets.shape == (1, 5) and masks.shape == (1, 16, 16)
+    # the mask's filled region sits inside the (slightly padded) box
+    t = targets[0]
+    ys, xs = np.where(masks[0] > 0.5)
+    assert len(xs) > 0
+    cx, cy = t[1] * 16, t[2] * 16
+    assert abs(xs.mean() - cx) < 2.0 and abs(ys.mean() - cy) < 2.0
+
+    images, tg, tm, mk = next(iter(ds.epoch_batches(t_max=8)))
+    assert images.shape == (4, 64, 64, 3)
+    assert tg.shape == (4, 8, 5) and tm.shape == (4, 8)
+    assert mk.shape == (4, 8, 16, 16)
+    assert tm[:, 0].all() and not tm[:, 1:].any()
+
+
+def test_seg_loss_prefers_correct_masks():
+    """per_image_seg_loss is lower when the head's mask coefficients
+    reproduce the gt mask than when they are anti-correlated."""
+    from adaptiveisp_tpu.detect.loss import LossHyp
+    from adaptiveisp_tpu.detect.segment import per_image_seg_loss
+
+    nc, nm, ny = 3, 4, 8
+    anchors = [np.asarray([[1.0, 1.0], [2.0, 2.0], [3.5, 3.5]],
+                          np.float32)]
+    hyp = LossHyp(obj=0.01)
+    T = 4
+    targets = np.zeros((T, 5), np.float32)
+    targets[0] = [1, 0.5, 0.5, 0.4, 0.4]
+    tmask = np.zeros((T,), bool)
+    tmask[0] = True
+
+    mh = mw = 16
+    gt = np.zeros((T, mh, mw), np.float32)
+    gt[0, 4:12, 4:12] = 1.0
+
+    # proto whose first channel IS the gt mask (logit scale)
+    proto = np.zeros((mh, mw, nm), np.float32)
+    proto[..., 0] = (gt[0] * 2 - 1) * 4
+
+    def build_pred(coeff0):
+        pred = np.zeros((ny, ny, 3, 5 + nc + nm), np.float32)
+        pred[..., 5 + nc] = coeff0  # first mask coefficient everywhere
+        return [jnp.asarray(pred)]
+
+    good, gc = per_image_seg_loss(
+        build_pred(+1.0), jnp.asarray(proto), jnp.asarray(targets),
+        jnp.asarray(tmask), jnp.asarray(gt), anchors, hyp)
+    bad, bc = per_image_seg_loss(
+        build_pred(-1.0), jnp.asarray(proto), jnp.asarray(targets),
+        jnp.asarray(tmask), jnp.asarray(gt), anchors, hyp)
+    assert float(gc["seg"]) < float(bc["seg"])
+    assert np.isfinite(float(good)) and np.isfinite(float(bad))
+
+
+def test_segment_trainer_end_to_end(polygon_dataset, tmp_path):
+    from adaptiveisp_tpu.data.segment_dataset import SegmentDataset
+    from adaptiveisp_tpu.detect.segment import SegmentTrainer
+    from adaptiveisp_tpu.detect.train_detector import DetTrainConfig
+
+    # mask_ratio must place gt masks at the proto resolution: proto comes
+    # from the /16 level upsampled 2x -> /8
+    spec = seg_spec_from(DET_SPEC, nm=8, npr=16)
+    ds = SegmentDataset(polygon_dataset, img_size=64, batch_size=4,
+                        mask_ratio=8, augment=True)
+    val = SegmentDataset(polygon_dataset, img_size=64, batch_size=4,
+                         mask_ratio=8)
+    model, variables = create_detector(jax.random.PRNGKey(0), spec=spec,
+                                       imgsz=64)
+    cfg = DetTrainConfig(epochs=3, batch_size=4, lr0=0.01,
+                         warmup_epochs=1.0)
+    tr = SegmentTrainer(model, variables, spec, ds, val, cfg=cfg,
+                        save_dir=str(tmp_path), nm=8)
+    history = tr.fit()
+    assert len(history) == 3
+    losses = [h["loss"] for h in history]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert (tmp_path / "best.pkl").exists() and (tmp_path / "last.pkl").exists()
+    m = history[-1]["metrics"]
+    assert {"box", "mask", "fitness"} <= set(m)
+    assert 0.0 <= m["mask"]["map50"] <= 1.0
