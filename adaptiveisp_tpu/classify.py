@@ -84,10 +84,8 @@ class _BackboneOnly(nn.Module):
     def __call__(self, x, train: bool = False):
         from adaptiveisp_tpu.detect.model import DetectionModel
 
-        # reuse DetectionModel's executor by appending a passthrough head
-        # is not possible (it requires Detect); inline the row loop via a
-        # DetectionModel with the rows as backbone and a trivial Detect is
-        # heavier than just executing rows here with the same dispatch.
+        # the spec executor with an Identity passthrough head runs the
+        # backbone rows and returns the last feature map
         dm = DetectionModel(spec=dict(self.spec,
                                       head=[[-1, 1, "Identity", []]]),
                             dtype=self.dtype, name="trunk")

@@ -97,13 +97,20 @@ class ISPDataset:
         self._ram_cache = [None] * len(self.im_files)
         self._npy_files = None
         if self.cache_mode == "disk":
+            import hashlib
+
             cdir = os.path.join(
                 os.path.dirname(self.im_files[0]) or ".",
                 ".adaptiveisp_im_cache")
             os.makedirs(cdir, exist_ok=True)
+            # key by a full-path digest (+ img_size): same-basename images
+            # from different directories must not share a cache entry
             self._npy_files = [
-                os.path.join(cdir, os.path.splitext(os.path.split(f)[1])[0]
-                             + f"_{img_size}.npz")
+                os.path.join(
+                    cdir,
+                    os.path.splitext(os.path.split(f)[1])[0] + "_"
+                    + hashlib.sha1(os.path.abspath(f).encode()).hexdigest()[:10]
+                    + f"_{img_size}.npz")
                 for f in self.im_files]
         if self.cache_mode:
             from multiprocessing.pool import ThreadPool

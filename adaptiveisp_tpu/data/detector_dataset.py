@@ -106,15 +106,20 @@ class DetectorDataset:
         self.batch_index = np.floor(np.arange(n) / batch_size).astype(int)
 
         # ---- RAM / disk cache (reference dataloaders.py:577-595) --------- #
+        # disk entries are keyed by img_size (a rerun at a different
+        # --imgsz must not reuse stale arrays) and carry (h0, w0) so
+        # load_image keeps the (image, original_hw) contract
         self.cache = cache
         self._ram: List[Optional[Tuple[np.ndarray, Tuple[int, int]]]] = (
             [None] * n)
-        self._npy = [f + ".resized.npy" for f in self.im_files]
+        self._npy = [f + f".resized{img_size}.npz" for f in self.im_files]
         if cache == "disk":
             for i in range(n):
                 if not os.path.exists(self._npy[i]):
                     im, hw = self._load_resize(i)
-                    np.save(self._npy[i], im)
+                    tmp = self._npy[i] + f".tmp{os.getpid()}"
+                    np.savez(tmp, im=im, h0w0=np.int32(hw))
+                    os.replace(tmp + ".npz", self._npy[i])
         elif cache == "ram":
             for i in range(n):
                 self._ram[i] = self._load_resize(i)
@@ -150,8 +155,8 @@ class DetectorDataset:
             im, hw0 = self._ram[i]
             return im.copy(), hw0
         if self.cache == "disk" and os.path.exists(self._npy[i]):
-            im = np.load(self._npy[i])
-            return im, im.shape[:2]
+            with np.load(self._npy[i]) as z:
+                return z["im"], tuple(int(v) for v in z["h0w0"])
         return self._load_resize(i)
 
     # ------------------------------------------------------------------ #

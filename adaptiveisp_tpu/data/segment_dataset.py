@@ -92,8 +92,9 @@ class SegmentDataset:
         targets, masks = [], []
         for cls, poly in self.instances[i]:
             # normalized polygon -> letterboxed input pixels
-            px = poly[:, 0] * (w0 * r) * ratio[1] + pad[0]
-            py = poly[:, 1] * (h0 * r) * ratio[0] + pad[1]
+            # (letterbox returns ratio as (rw, rh), letterbox.py:54)
+            px = poly[:, 0] * (w0 * r) * ratio[0] + pad[0]
+            py = poly[:, 1] * (h0 * r) * ratio[1] + pad[1]
             x1, x2 = float(px.min()), float(px.max())
             y1, y2 = float(py.min()), float(py.max())
             bw, bh = x2 - x1, y2 - y1

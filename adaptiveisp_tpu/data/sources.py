@@ -73,7 +73,8 @@ class VideoSource:
         self.frames = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
 
     def __len__(self):
-        return max(self.frames // self.stride, 0)
+        # iteration emits frames 0, stride, 2*stride, ... -> ceil
+        return max(-(-self.frames // self.stride), 0)
 
     def __iter__(self) -> Iterator[Frame]:
         import cv2

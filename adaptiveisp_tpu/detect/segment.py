@@ -309,101 +309,42 @@ def non_max_suppression_seg(prediction, nm: int, **kw):
 
 
 class SegmentTrainer:
-    """Epoch loop for the segmentation fork: train -> box+mask mAP ->
-    best/last -> EarlyStopping (reference segment/train.py shape)."""
+    """Epoch loop for the segmentation fork — DetectorTrainer with the
+    segmentation step and box+mask mAP validation (reference
+    segment/train.py shape).  Defined lazily to avoid an import cycle."""
 
-    def __init__(self, model, variables, spec, train_ds, val_ds=None,
-                 cfg=None, hyp=None, save_dir=None, nm: int = 32,
-                 mesh=None):
-        import pickle  # noqa: F401
+    def __new__(cls, *args, **kw):
+        return _segment_trainer_cls()(*args, **kw)
 
-        from adaptiveisp_tpu.detect.loss import LossHyp
-        from adaptiveisp_tpu.detect.model import anchors_in_grid_units
-        from adaptiveisp_tpu.detect.train_detector import (
-            DetTrainConfig, EarlyStopping, init_detector_train_state)
-        from adaptiveisp_tpu.detect.train_loop import make_warmup_optimizer
 
-        self.model = model
-        self.spec = spec
-        self.nm = nm
-        self.train_ds = train_ds
-        self.val_ds = val_ds
-        self.cfg = cfg or DetTrainConfig()
-        self.save_dir = save_dir
-        self.mesh = mesh
-        imgsz = train_ds.img_size
-        self.hyp = hyp or LossHyp(obj=1.0 * (imgsz / 640) ** 2)
-        steps_per_epoch = max(1, len(train_ds) // train_ds.batch_size)
-        self.tx, self._lr_fn = make_warmup_optimizer(self.cfg,
-                                                     steps_per_epoch)
-        step_fn = make_segment_train_step(
-            model, anchors_in_grid_units(spec), self.hyp, self.tx,
-            ema_decay=self.cfg.ema_decay)
-        self.state = init_detector_train_state(variables, self.tx)
-        if mesh is None:
-            self.step_fn = jax.jit(step_fn)
-        else:
-            from adaptiveisp_tpu.train import mesh as mesh_lib
+def _segment_trainer_cls():
+    from adaptiveisp_tpu.detect.model import anchors_in_grid_units
+    from adaptiveisp_tpu.detect.train_loop import DetectorTrainer
 
-            rep = mesh_lib.replicated(mesh)
-            self.step_fn = jax.jit(
-                step_fn, in_shardings=(rep, None, None, None, None))
-            self.state = mesh_lib.replicate(mesh, self.state)
-        self.stopper = EarlyStopping(self.cfg.patience)
-        self.best_fitness = 0.0
-        self.history = []
+    class _SegmentTrainer(DetectorTrainer):
+        _batch_arity = 4  # (images, targets, tmask, gt_masks)
 
-    def _ema_variables(self):
-        return {"params": self.state.ema.params,
-                "batch_stats": self.state.batch_stats}
+        def __init__(self, model, variables, spec, train_ds, val_ds=None,
+                     cfg=None, hyp=None, save_dir=None, nm: int = 32,
+                     mesh=None):
+            self.nm = nm
+            super().__init__(model, variables, spec, train_ds, val_ds,
+                             cfg=cfg, hyp=hyp, save_dir=save_dir,
+                             mesh=mesh)
 
-    def _save(self, name):
-        import os
-        import pickle
+        def _build_step(self):
+            return make_segment_train_step(
+                self.model, anchors_in_grid_units(self.spec), self.hyp,
+                self.tx, ema_decay=self.cfg.ema_decay)
 
-        if self.save_dir is None:
-            return
-        os.makedirs(self.save_dir, exist_ok=True)
-        payload = {"model": jax.device_get(
-                       {"params": self.state.params,
-                        "batch_stats": self.state.batch_stats}),
-                   "ema": jax.device_get(self.state.ema.params),
-                   "best_fitness": self.best_fitness}
-        with open(os.path.join(self.save_dir, name), "wb") as f:
-            pickle.dump(payload, f)
-
-    def fit(self, epochs=None):
-        import time
-
-        epochs = epochs or self.cfg.epochs
-        for epoch in range(epochs):
-            t0 = time.time()
-            losses = []
-            for images, targets, tmask, masks in (
-                    self.train_ds.epoch_batches()):
-                batch = (jnp.asarray(images), jnp.asarray(targets),
-                         jnp.asarray(tmask), jnp.asarray(masks))
-                if self.mesh is not None:
-                    from adaptiveisp_tpu.train import mesh as mesh_lib
-
-                    batch = mesh_lib.shard_batch(self.mesh, batch)
-                self.state, out = self.step_fn(self.state, *batch)
-                losses.append(float(out["loss"]))
+        def _validate(self):
             metrics = {"box": {"map50": 0.0, "map": 0.0},
                        "mask": {"map50": 0.0, "map": 0.0}, "fitness": 0.0}
             if self.val_ds is not None:
                 metrics = validate_segmenter(
                     self.model, self._ema_variables(), self.val_ds,
-                    self.spec, nm=self.nm)
-            fit = metrics["fitness"]
-            if fit >= self.best_fitness:
-                self.best_fitness = fit
-                self._save("best.pkl")
-            self._save("last.pkl")
-            self.history.append({"epoch": epoch,
-                                 "loss": float(np.mean(losses)),
-                                 "metrics": metrics,
-                                 "seconds": time.time() - t0})
-            if self.stopper(epoch, fit):
-                break
-        return self.history
+                    self.spec, nm=self.nm,
+                    max_batches=self.val_batches)
+            return metrics, metrics["fitness"]
+
+    return _SegmentTrainer

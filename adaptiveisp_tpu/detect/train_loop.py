@@ -164,7 +164,13 @@ class EpochLog:
 
 
 class DetectorTrainer:
-    """Runs epochs end-to-end; reference yolov3/train.py loop shape."""
+    """Runs epochs end-to-end; reference yolov3/train.py loop shape.
+
+    Subclass hooks (used by the segmentation fork): `_build_step` supplies
+    the jittable step fn, `_validate` the per-epoch metrics + fitness, and
+    `_batch_arity` how many arrays a dataset batch carries."""
+
+    _batch_arity = 3  # (images, targets, tmask)
 
     def __init__(self, model, variables, spec, train_ds: DetectorDataset,
                  val_ds: Optional[DetectorDataset] = None,
@@ -188,9 +194,7 @@ class DetectorTrainer:
 
         self.tx, self._lr_fn = make_warmup_optimizer(
             self.cfg, self.steps_per_epoch)
-        step_fn = make_detector_train_step(
-            model, anchors_in_grid_units(spec), self.hyp, self.tx,
-            ema_decay=self.cfg.ema_decay)
+        step_fn = self._build_step()
         self.state = init_detector_train_state(variables, self.tx)
         if mesh is None:
             self.step_fn = jax.jit(step_fn)
@@ -203,8 +207,9 @@ class DetectorTrainer:
             from adaptiveisp_tpu.train import mesh as mesh_lib
 
             rep = mesh_lib.replicated(mesh)
-            self.step_fn = jax.jit(step_fn,
-                                   in_shardings=(rep, None, None, None))
+            self.step_fn = jax.jit(
+                step_fn,
+                in_shardings=(rep,) + (None,) * self._batch_arity)
             self.state = mesh_lib.replicate(mesh, self.state)
         self.stopper = EarlyStopping(self.cfg.patience)
         self.best_fitness = 0.0
@@ -220,6 +225,20 @@ class DetectorTrainer:
         self._ms_rng = np.random.RandomState(0)
 
     # ------------------------------------------------------------------ #
+    def _build_step(self):
+        return make_detector_train_step(
+            self.model, anchors_in_grid_units(self.spec), self.hyp,
+            self.tx, ema_decay=self.cfg.ema_decay)
+
+    def _validate(self):
+        metrics = {"precision": 0.0, "recall": 0.0, "map50": 0.0,
+                   "map": 0.0}
+        if self.val_ds is not None:
+            metrics = validate_detector(
+                self.model, self._ema_variables(), self.val_ds,
+                self.spec, max_batches=self.val_batches)
+        return metrics, fitness_of(metrics)
+
     def _maybe_rescale(self, images: np.ndarray) -> np.ndarray:
         if len(self.sizes) == 1:
             return images
@@ -233,10 +252,9 @@ class DetectorTrainer:
 
     def train_epoch(self, epoch: int) -> float:
         losses = []
-        for images, targets, tmask in self.train_ds.epoch_batches():
+        for images, *rest in self.train_ds.epoch_batches():
             images = self._maybe_rescale(images)
-            batch = (jnp.asarray(images), jnp.asarray(targets),
-                     jnp.asarray(tmask))
+            batch = tuple(jnp.asarray(a) for a in (images, *rest))
             if self.mesh is not None:
                 from adaptiveisp_tpu.train import mesh as mesh_lib
 
@@ -272,14 +290,7 @@ class DetectorTrainer:
         for epoch in range(epochs):
             t0 = time.time()
             loss = self.train_epoch(epoch)
-
-            metrics = {"precision": 0.0, "recall": 0.0, "map50": 0.0,
-                       "map": 0.0}
-            if self.val_ds is not None:
-                metrics = validate_detector(
-                    self.model, self._ema_variables(), self.val_ds,
-                    self.spec, max_batches=self.val_batches)
-            fit = fitness_of(metrics)
+            metrics, fit = self._validate()
 
             if fit >= self.best_fitness:
                 self.best_fitness = fit

@@ -93,6 +93,10 @@ def jit_rollout(agent, steps: int, record_steps: bool = False,
 
     n_filters = agent.cfg.n_filters
     n_params_total = param_offsets(agent.cfg)[-1][1]
+    # recorded rollouts feed artifact dumps (per-step pdf decision bars,
+    # trainer.validate_trajectories) that DO read post-stop pdfs — keep
+    # full fidelity there
+    early_exit = early_exit and not record_steps
 
     def fn(variables, image, noises, states, pipeline_arr):
         n = image.shape[0]

@@ -66,9 +66,32 @@ def _make_handler(detector, size: int, conf_thres: float, isp=None):
                 self._json(400, {"error": f"bad image: {e}"})
                 return
             if isp is not None:
+                # letterbox FIRST so the ISP rollout always sees the fixed
+                # service size (one compile, train/eval input distribution)
                 import jax.numpy as jnp
 
-                im = np.asarray(isp.process(jnp.asarray(im[None])))[0]
+                from adaptiveisp_tpu.data.letterbox import letterbox
+                from adaptiveisp_tpu.detect.boxes import scale_boxes
+
+                h0, w0 = im.shape[:2]
+                lb, ratio, pad = letterbox(im, size, color=(0, 0, 0),
+                                           auto=False)
+                x = np.asarray(isp.process(jnp.asarray(lb[None])))[0]
+                dets, nvalid = detector.detect(
+                    x[None], conf_thres=conf_thres)
+                det = np.array(dets[0][:int(nvalid[0])])
+                if det.shape[0]:
+                    det[:, :4] = scale_boxes((size, size), det[:, :4],
+                                             (h0, w0), (ratio, pad))
+                payload = [
+                    {"xmin": float(d[0]), "ymin": float(d[1]),
+                     "xmax": float(d[2]), "ymax": float(d[3]),
+                     "confidence": float(d[4]), "class": int(d[5]),
+                     "name": detector.names.get(int(d[5]),
+                                                str(int(d[5])))}
+                    for d in det]
+                self._json(200, payload)
+                return
             res = detector(im, size=size, conf_thres=conf_thres)
             self._json(200, res.to_dicts()[0])
 

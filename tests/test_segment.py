@@ -247,10 +247,15 @@ def test_segment_trainer_end_to_end(polygon_dataset, tmp_path):
                         save_dir=str(tmp_path), nm=8)
     history = tr.fit()
     assert len(history) == 3
-    losses = [h["loss"] for h in history]
+    losses = [h.loss for h in history]
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
     assert (tmp_path / "best.pkl").exists() and (tmp_path / "last.pkl").exists()
-    m = history[-1]["metrics"]
+    m = history[-1].metrics
     assert {"box", "mask", "fitness"} <= set(m)
     assert 0.0 <= m["mask"]["map50"] <= 1.0
+    # unified checkpoint payload (DetectorTrainer._save fields)
+    from adaptiveisp_tpu.detect.train_loop import load_detector_checkpoint
+
+    best = load_detector_checkpoint(str(tmp_path / "best.pkl"))
+    assert {"model", "ema", "epoch", "updates"} <= set(best)
