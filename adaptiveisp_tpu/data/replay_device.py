@@ -83,7 +83,12 @@ def _make_sharded_ops(mesh):
 class DeviceReplayMemory:
     def __init__(self, cfg, dataset: ISPDataset, batch_size: int,
                  feeder_batch: int = 32, seed: int = 0,
-                 prefetch: bool = True, mesh=None):
+                 prefetch: bool = True, mesh=None, loss_fn=None):
+        """loss_fn (optional): callable(images [n,H,W,3] numpy, labels
+        list) -> [n,1] detector input losses.  When given, the pool caches
+        each slot's loss — the frozen detector makes last write-back's
+        retouch loss identical to the next sample's input loss, so the
+        train step can skip one full detector forward per iteration."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.pool_size = cfg.replay_memory_size
@@ -120,6 +125,16 @@ class DeviceReplayMemory:
                 self.images, self._data_sharding(self.images.ndim))
             self._sh_gather, self._sh_scatter = _make_sharded_ops(mesh)
         self.states = get_initial_states(self.pool_size, cfg.num_state_dim)
+
+        self.loss_fn = loss_fn
+        self.loss_in = np.zeros((self.pool_size, 1), np.float32)
+        if loss_fn is not None:
+            step = max(1, feeder_batch)
+            for s in range(0, self.pool_size, step):
+                sl = slice(s, min(s + step, self.pool_size))
+                imgs_np = np.asarray(jax.device_get(self.images[sl]))
+                self.loss_in[sl] = np.asarray(loss_fn(
+                    imgs_np, [m["label"] for m in self.meta[sl]]))
 
     # ------------------------------------------------------------------ #
     def sample(self, batch_size: int):
@@ -163,9 +178,16 @@ class DeviceReplayMemory:
         z = get_noise(self.rng, batch_size, self.cfg.z_dim, self.cfg.z_type)
         return idx, imgs, self.states[idx].copy(), labels, paths, shapes, z
 
+    def sampled_loss(self, idx: np.ndarray) -> np.ndarray:
+        """Cached input losses for the sampled slots [n, 1]."""
+        return self.loss_in[idx].copy()
+
     def replace(self, idx: np.ndarray, retouch_device, new_states: np.ndarray,
-                diverged: bool = False):
-        """Write the step's outputs back into their slots (on device)."""
+                diverged: bool = False, retouch_loss=None):
+        """Write the step's outputs back into their slots (on device).
+
+        retouch_loss [n, 1]: per-image retouch detector loss — becomes the
+        slot's cached input loss for its next sampling."""
         if diverged:
             self._refresh_slots(idx)
             return
@@ -199,6 +221,9 @@ class DeviceReplayMemory:
                 self.images = self._sh_scatter(self.images, local,
                                                retouch_device)
             self.states[idx[keep_pos]] = new_states[keep_pos]
+            if self.loss_fn is not None and retouch_loss is not None:
+                self.loss_in[idx[keep_pos]] = np.asarray(
+                    retouch_loss)[keep_pos]
         if refresh:
             self._refresh_slots(np.asarray(refresh))
 
@@ -244,6 +269,9 @@ class DeviceReplayMemory:
             self.meta[slot] = meta
         self.states[slots] = get_initial_states(len(slots),
                                                 self.cfg.num_state_dim)
+        if self.loss_fn is not None:
+            self.loss_in[slots] = np.asarray(self.loss_fn(
+                stack, [m["label"] for _, m in fresh_imgs]))
 
     # ------------------------------------------------------------------ #
     def stats(self) -> Dict[str, float]:

@@ -55,17 +55,29 @@ class StepOutput(NamedTuple):
 
 
 def make_train_step(agent, value, yolo, cfg, tcfg, anchors_grid,
-                    hyp: LossHyp, agent_tx, value_tx):
+                    hyp: LossHyp, agent_tx, value_tx,
+                    cached_input_loss: bool = False):
     """Build the jitted train step closure.
 
     agent/value/yolo: flax modules; cfg: Config; tcfg: TrainConfig;
     agent_tx/value_tx: optax transforms (clip + adam + schedule).
+
+    cached_input_loss: the detector is FROZEN, so a pool image's input
+    loss equals the retouch loss computed when it was last written back —
+    the batch then carries a precomputed loss_in [N, 1] (weighted+clipped)
+    and the step skips the input-image detector forward entirely, cutting
+    one of the two full YOLO forwards per iteration.  Numerically
+    identical to recomputing (same detector, same image, BN in inference
+    mode); fresh pool slots get their loss from make_input_loss_fn.
     """
 
     def loss_fn(trainable, agent_stats, value_stats, yolo_vars, batch,
                 dropout_rng, progress):
         agent_params, value_params = trainable
-        imgs, z, states, targets, tmask = batch
+        if cached_input_loss:
+            imgs, z, states, targets, tmask, loss_in = batch
+        else:
+            imgs, z, states, targets, tmask = batch
 
         # ---- agent forward (train mode, BN batch stats, dropout) --------
         (retouch, new_states, surrogate, penalty, _, info), agent_mut = (
@@ -76,11 +88,14 @@ def make_train_step(agent, value, yolo, cfg, tcfg, anchors_grid,
         stopped = new_states[:, STATE_STOPPED_DIM:STATE_STOPPED_DIM + 1]
 
         # ---- frozen detector on input & retouched (train.py:262-271) ----
-        pred_input = yolo.apply(yolo_vars, imgs, train=False)
-        detect_input_loss, _ = per_image_loss_batch(
-            pred_input, targets, tmask, anchors_grid, hyp)
-        detect_input_loss = jnp.clip(
-            detect_input_loss * cfg.detect_loss_weight, 0.0, 1.0)
+        if cached_input_loss:
+            detect_input_loss = loss_in
+        else:
+            pred_input = yolo.apply(yolo_vars, imgs, train=False)
+            detect_input_loss, _ = per_image_loss_batch(
+                pred_input, targets, tmask, anchors_grid, hyp)
+            detect_input_loss = jnp.clip(
+                detect_input_loss * cfg.detect_loss_weight, 0.0, 1.0)
 
         pred_retouch = yolo.apply(yolo_vars, retouch, train=False)
         detect_retouch_loss, retouch_comps = per_image_loss_batch(
@@ -150,6 +165,10 @@ def make_train_step(agent, value, yolo, cfg, tcfg, anchors_grid,
                 "selected_filter": info["selected_filter"],
                 "retouch_mean": retouch.mean(),
                 "retouch_finite": jnp.isfinite(retouch).all(),
+                # per-image retouch loss (weighted+clipped): becomes the
+                # written-back slot's cached input loss
+                "retouch_loss_per_image": jax.lax.stop_gradient(
+                    detect_retouch_loss),
             },
         }
         return total, aux
@@ -177,6 +196,21 @@ def make_train_step(agent, value, yolo, cfg, tcfg, anchors_grid,
                           aux["metrics"])
 
     return train_step
+
+
+def make_input_loss_fn(yolo, cfg, anchors_grid, hyp: LossHyp):
+    """Jitted detector loss of raw pool images (weighted + clipped exactly
+    like the step's detect_input_loss) — used to seed cached losses for
+    fresh replay slots."""
+
+    @jax.jit
+    def fn(yolo_vars, imgs, targets, tmask):
+        preds = yolo.apply(yolo_vars, imgs, train=False)
+        loss, _ = per_image_loss_batch(preds, targets, tmask, anchors_grid,
+                                       hyp)
+        return jnp.clip(loss * cfg.detect_loss_weight, 0.0, 1.0)
+
+    return fn
 
 
 def init_train_state(agent_variables, value_variables, agent_tx, value_tx):

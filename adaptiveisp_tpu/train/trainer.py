@@ -54,7 +54,8 @@ class Trainer:
                  yolo_variables=None, t_max: int = 64,
                  data_source: Optional[str] = None,
                  mesh=None, log: bool = True, yolo_spec=None,
-                 yolo_dtype=None, device_replay: bool = False):
+                 yolo_dtype=None, device_replay: bool = False,
+                 cached_reward: bool = True):
         cfg = cfg.replace(
             filter_runtime_penalty=tcfg.runtime_penalty,
             filter_runtime_penalty_lambda=tcfg.runtime_penalty_lambda)
@@ -83,17 +84,13 @@ class Trainer:
         # host traffic drops from 2x ~25 MB (batch down + up) to fresh-RAW
         # uploads only.  With a mesh the pool is sharded over the data axis
         # (per-shard sampling + shard-local scatters), so multi-chip
-        # training keeps the device-pool win.
+        # training keeps the device-pool win.  cached_reward additionally
+        # stores each slot's detector input loss (identical to its last
+        # write-back's retouch loss — the detector is frozen), skipping one
+        # of the two full YOLO forwards per step.
         self.device_replay = None
-        if device_replay:
-            from adaptiveisp_tpu.data.replay_device import DeviceReplayMemory
-
-            self.device_replay = DeviceReplayMemory(
-                cfg, train_ds, tcfg.batch_size, seed=tcfg.seed, mesh=mesh)
-            self.replay = self.device_replay  # stats/stop interface
-        else:
-            self.replay = ReplayMemory(cfg, train_ds, tcfg.batch_size,
-                                       seed=tcfg.seed)
+        self.cached_reward = bool(device_replay and cached_reward)
+        self._train_ds = train_ds  # pool construction is deferred below
         self.val_feed = None
         if val_path is not None:
             val_ds = ISPDataset(val_path, img_size=tcfg.imgsz, source=source,
@@ -132,7 +129,8 @@ class Trainer:
             segments=tcfg.lr_segments)
         step_fn = make_train_step(
             self.agent, self.value, self.yolo, cfg, tcfg,
-            anchors_in_grid_units(spec), hyp, self.agent_tx, self.value_tx)
+            anchors_in_grid_units(spec), hyp, self.agent_tx, self.value_tx,
+            cached_input_loss=self.cached_reward)
         if mesh is not None:
             self.train_step = mesh_lib.shard_train_step(step_fn, mesh)
         else:
@@ -144,6 +142,32 @@ class Trainer:
             self.yolo_vars = mesh_lib.replicate(mesh, self.yolo_vars)
         self.filter_names = short_names(cfg)
         self.dropout_key = jax.random.PRNGKey(tcfg.seed + 7)
+
+        # ---- replay pool (after the models: cached_reward needs the
+        # detector to seed per-slot input losses) ------------------------
+        if device_replay:
+            from adaptiveisp_tpu.data.replay_device import DeviceReplayMemory
+
+            pool_loss_fn = None
+            if self.cached_reward:
+                from adaptiveisp_tpu.train.step import make_input_loss_fn
+
+                raw_loss = make_input_loss_fn(
+                    self.yolo, cfg, anchors_in_grid_units(spec), hyp)
+
+                def pool_loss_fn(images_np, labels):
+                    targets, tmask = pad_targets(labels, self.t_max)
+                    return np.asarray(raw_loss(
+                        self.yolo_vars, jnp.asarray(images_np),
+                        jnp.asarray(targets), jnp.asarray(tmask)))
+
+            self.device_replay = DeviceReplayMemory(
+                cfg, train_ds, tcfg.batch_size, seed=tcfg.seed, mesh=mesh,
+                loss_fn=pool_loss_fn)
+            self.replay = self.device_replay  # stats/stop interface
+        else:
+            self.replay = ReplayMemory(cfg, train_ds, tcfg.batch_size,
+                                       seed=tcfg.seed)
 
     # ------------------------------------------------------------------ #
     def resume(self, path_or_dir: str):
@@ -178,6 +202,9 @@ class Trainer:
                 targets, tmask = pad_targets(labels, self.t_max)
                 rest = (jnp.asarray(z), jnp.asarray(states_np),
                         jnp.asarray(targets), jnp.asarray(tmask))
+                if self.cached_reward:
+                    rest = rest + (jnp.asarray(
+                        self.device_replay.sampled_loss(idx)),)
                 if self.mesh is not None:
                     # images are already data-sharded by the pool gather
                     rest = mesh_lib.shard_batch(self.mesh, rest)
@@ -206,8 +233,10 @@ class Trainer:
                 if diverged:
                     print(f"retouch diverged (mean={mean_b:.4f}); "
                           f"refreshing slots")
-                self.device_replay.replace(idx, out.retouch, new_states,
-                                           diverged=diverged)
+                self.device_replay.replace(
+                    idx, out.retouch, new_states, diverged=diverged,
+                    retouch_loss=(metrics["retouch_loss_per_image"]
+                                  if self.cached_reward else None))
             else:
                 retouch, new_states, metrics = jax.device_get(
                     (out.retouch, out.new_states, out.metrics))

@@ -166,3 +166,54 @@ def test_trainer_device_replay(toy_dataset_dir, tmp_path):
     # pool trajectories advanced on device
     assert tr.device_replay.stats()["avg_trajectory"] > 0
     tr.close()
+
+
+def test_cached_reward_matches_recomputed(toy_dataset_dir, tmp_path):
+    """cached_reward skips the input-image detector forward by reusing the
+    slot's last write-back loss — the frozen detector makes this
+    numerically identical to recomputing, so N steps with identical seeds
+    must produce identical metrics."""
+    import jax
+    import numpy as np
+
+    # run both variants step-by-step with captured metrics
+    def run_steps(cached, n=3):
+        tcfg = TrainConfig(batch_size=2, epochs=1, imgsz=64,
+                           data_name="lod")
+        tr = Trainer(CFG, tcfg, toy_dataset_dir, val_path=None,
+                     save_dir=str(tmp_path / f"s{cached}"),
+                     yolo_spec=MINI_SPEC, t_max=8, log=False,
+                     device_replay=True, cached_reward=cached)
+        vals = []
+        from adaptiveisp_tpu.detect.loss import pad_targets
+        import jax.numpy as jnp
+
+        for it in range(n):
+            idx, imgs_dev, states_np, labels, paths, shapes, z = (
+                tr.device_replay.sample(2))
+            targets, tmask = pad_targets(labels, 8)
+            rest = (jnp.asarray(z), jnp.asarray(states_np),
+                    jnp.asarray(targets), jnp.asarray(tmask))
+            if cached:
+                rest = rest + (jnp.asarray(
+                    tr.device_replay.sampled_loss(idx)),)
+            batch = (imgs_dev,) + rest
+            tr.dropout_key, sub = jax.random.split(tr.dropout_key)
+            out = tr.train_step(tr.state, tr.yolo_vars, batch, sub,
+                                it / 10.0)
+            tr.state = out.state
+            m, ns = jax.device_get((out.metrics, out.new_states))
+            vals.append((float(m["agent_loss"]), float(m["value_loss"]),
+                         float(m["reward"]),
+                         float(m["detect_input_loss"])))
+            tr.device_replay.replace(
+                idx, out.retouch, np.asarray(ns),
+                retouch_loss=(np.asarray(m["retouch_loss_per_image"])
+                              if cached else None))
+        tr.close()
+        return vals
+
+    a = run_steps(False)
+    b = run_steps(True)
+    for (sa, sb) in zip(a, b):
+        np.testing.assert_allclose(sa, sb, rtol=2e-5, atol=1e-6)

@@ -54,8 +54,13 @@ def parse_args(argv=None):
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel devices (0 = all available)")
     p.add_argument("--device_replay", action="store_true", default=False,
-                   help="keep the replay image pool in device HBM "
-                        "(single-device; kills the per-step host round-trip)")
+                   help="keep the replay image pool in device HBM (DP-mesh "
+                        "sharded when --dp; kills the per-step host "
+                        "round-trip)")
+    p.add_argument("--no_cached_reward", action="store_true", default=False,
+                   help="recompute the input-image detector loss every step "
+                        "instead of reusing the slot's cached write-back "
+                        "loss (numerically identical; debug only)")
     args = p.parse_args(argv)
     args.save_path = args.data_name + "-" + args.save_path
     if args.data_name == "lod":
@@ -136,7 +141,8 @@ def main(argv=None):
             val_path=data.get("val") if args.task == "train_val" else None,
             save_dir=os.path.join("experiments", args.save_path),
             yolo_variables=yolo_vars, data_source=data.get("source"),
-            mesh=mesh, device_replay=args.device_replay)
+            mesh=mesh, device_replay=args.device_replay,
+            cached_reward=not args.no_cached_reward)
         if args.resume:
             trainer.resume(args.resume)
         trainer.train(max_steps=args.max_steps)
