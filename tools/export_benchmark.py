@@ -54,7 +54,8 @@ def main():
         load_stablehlo)
     from adaptiveisp_tpu.detect.model import (
         create_detector, decode_predictions)
-    from adaptiveisp_tpu.detect.spec import YOLOV3_SPEC, YOLOV3_TINY_SPEC
+    from adaptiveisp_tpu.detect.spec import (
+        YOLOV3_SPEC, YOLOV3_TINY_SPEC, YOLOV5S_SPEC)
     from adaptiveisp_tpu.policy.agent import create_agent_state
     from adaptiveisp_tpu.policy.states import get_initial_states
 
@@ -65,8 +66,9 @@ def main():
     results = []
 
     # detector families
-    for name, spec in [("yolov3", YOLOV3_SPEC), ("yolov3-tiny",
-                                                 YOLOV3_TINY_SPEC)]:
+    for name, spec in [("yolov3", YOLOV3_SPEC),
+                       ("yolov3-tiny", YOLOV3_TINY_SPEC),
+                       ("yolov5s", YOLOV5S_SPEC)]:
         model, variables = create_detector(jax.random.PRNGKey(0), spec=spec,
                                            imgsz=args.imgsz)
         path = export_detector(model, variables,
@@ -93,6 +95,37 @@ def main():
                                      no_pipeline(3)).image
     results.append(check("adaptive_isp(3 steps)", native, exported,
                          (x, z, s)))
+
+    # segmentation family: decoded boxes+coeffs AND prototype masks
+    from adaptiveisp_tpu.detect.segment import seg_spec_from
+
+    seg_spec = seg_spec_from(YOLOV3_TINY_SPEC, nm=32, npr=128)
+    model, variables = create_detector(jax.random.PRNGKey(2), spec=seg_spec,
+                                       imgsz=args.imgsz)
+
+    def seg_fwd(im):
+        preds, proto = model.apply(variables, im, train=False)
+        return decode_predictions(preds, seg_spec), proto
+
+    path = export_stablehlo(jax.jit(seg_fwd), (x,),
+                            os.path.join(args.out,
+                                         "yolov3-tiny-seg.stablehlo"))
+    exported = load_stablehlo(path)
+    results.append(check("yolov3-tiny-seg", jax.jit(seg_fwd), exported,
+                         (x,)))
+
+    # classification family
+    from adaptiveisp_tpu.classify import create_classifier
+
+    cls_model, cls_vars = create_classifier(
+        jax.random.PRNGKey(3), spec=YOLOV3_TINY_SPEC, nc=10,
+        imgsz=args.imgsz)
+    cls_fwd = jax.jit(lambda im: cls_model.apply(cls_vars, im, train=False))
+    path = export_stablehlo(cls_fwd, (x,),
+                            os.path.join(args.out,
+                                         "yolov3-tiny-cls.stablehlo"))
+    exported = load_stablehlo(path)
+    results.append(check("yolov3-tiny-cls", cls_fwd, exported, (x,)))
 
     print("ALL OK" if all(results) else "FAILURES PRESENT")
     return 0 if all(results) else 1
