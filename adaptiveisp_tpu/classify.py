@@ -323,6 +323,11 @@ def main(argv=None):
     p.add_argument("--save-dir", default="runs/train-cls")
     p.add_argument("--dp", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--weights", default=None,
+                   help="checkpoint .pkl to load before training/validation")
+    p.add_argument("--validate-only", action="store_true",
+                   help="report top-1/top-5 without training "
+                        "(reference classify/val.py)")
     args = p.parse_args(argv)
 
     train_root = os.path.join(args.data, "train")
@@ -337,6 +342,10 @@ def main(argv=None):
     model, variables = create_classifier(
         jax.random.PRNGKey(args.seed), nc=len(train_ds.classes),
         imgsz=args.imgsz, dropout=args.dropout)
+    if args.weights:
+        with open(args.weights, "rb") as f:
+            ckpt = pickle.load(f)
+        variables = ckpt["model"]
     mesh = None
     if args.dp:
         from adaptiveisp_tpu.train.mesh import make_mesh
@@ -347,6 +356,22 @@ def main(argv=None):
     trainer = ClassifierTrainer(model, variables, train_ds, val_ds, cfg=cfg,
                                 save_dir=args.save_dir, mesh=mesh,
                                 seed=args.seed)
+    if args.validate_only:
+        # evaluate the LOADED weights (not the EMA of an untrained state)
+        variables_host = {"params": jax.device_get(trainer.state[0]),
+                          "batch_stats": jax.device_get(trainer.state[1])}
+        ds = val_ds or train_ds
+        top1 = top5 = n = 0
+        for ims, labels in ds.epoch_batches(cfg.batch_size, shuffle=False):
+            out = np.asarray(trainer._eval(variables_host,
+                                           jnp.asarray(ims)))
+            rank = np.argsort(-out, axis=-1)
+            top1 += (rank[:, 0] == labels).sum()
+            top5 += (rank[:, :5] == labels[:, None]).any(1).sum()
+            n += len(labels)
+        print(f"top1 {top1 / max(n, 1):.4f} top5 {top5 / max(n, 1):.4f} "
+              f"({n} images)")
+        return {"top1": top1 / max(n, 1), "top5": top5 / max(n, 1)}
     history = trainer.fit()
     for h in history:
         print(f"epoch {h['epoch']}: loss {h['loss']:.4f} "

@@ -321,7 +321,7 @@ def _segment_trainer_cls():
     from adaptiveisp_tpu.detect.model import anchors_in_grid_units
     from adaptiveisp_tpu.detect.train_loop import DetectorTrainer
 
-    class _SegmentTrainer(DetectorTrainer):
+    class _SegmentTrainer(DetectorTrainer):  # noqa: N801
         _batch_arity = 4  # (images, targets, tmask, gt_masks)
 
         def __init__(self, model, variables, spec, train_ds, val_ds=None,
@@ -348,3 +348,98 @@ def _segment_trainer_cls():
             return metrics, metrics["fitness"]
 
     return _SegmentTrainer
+
+
+def main(argv=None):
+    """`python -m adaptiveisp_tpu.detect.segment` — segmentation predict
+    CLI (reference segment/predict.py surface): run a segmentation model
+    over images/video/streams, print per-frame instances, optionally save
+    mask overlays."""
+    import argparse
+    import os
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--source", required=True,
+                   help="image/dir/glob/video/webcam/rtsp (data.sources)")
+    p.add_argument("--weights", default=None,
+                   help="SegmentTrainer checkpoint .pkl (best/last)")
+    p.add_argument("--spec", default="yolov3-tiny",
+                   help="base detection spec name or YAML; -seg derived")
+    p.add_argument("--nm", type=int, default=32)
+    p.add_argument("--npr", type=int, default=256)
+    p.add_argument("--imgsz", type=int, default=512)
+    p.add_argument("--conf_thres", type=float, default=0.25)
+    p.add_argument("--iou_thres", type=float, default=0.45)
+    p.add_argument("--max_det", type=int, default=100)
+    p.add_argument("--save_dir", default=None,
+                   help="save mask overlays here")
+    p.add_argument("--vid_stride", type=int, default=1)
+    p.add_argument("--max_frames", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from adaptiveisp_tpu.data.dataset_config import COCO_NAMES
+    from adaptiveisp_tpu.data.letterbox import letterbox
+    from adaptiveisp_tpu.data.sources import open_source
+    from adaptiveisp_tpu.detect.model import (
+        create_detector, decode_predictions)
+    from adaptiveisp_tpu.detect.spec import (
+        YOLOV3_SPEC, YOLOV3_TINY_SPEC, YOLOV5S_SPEC, load_spec)
+
+    base = {"yolov3": YOLOV3_SPEC, "yolov3-tiny": YOLOV3_TINY_SPEC,
+            "yolov5s": YOLOV5S_SPEC}.get(args.spec) or load_spec(args.spec)
+    spec = seg_spec_from(base, nm=args.nm, npr=args.npr)
+    model, variables = create_detector(jax.random.PRNGKey(0), spec=spec,
+                                       imgsz=args.imgsz)
+    if args.weights:
+        import pickle
+
+        with open(args.weights, "rb") as f:
+            ckpt = pickle.load(f)
+        variables = ckpt["model"]
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+
+    src = open_source(args.source, vid_stride=args.vid_stride,
+                      max_frames=args.max_frames)
+    sources = src if isinstance(src, list) else [src]
+    for s in sources:
+        for name, frame, meta in s:
+            lb, ratio, pad = letterbox(frame, args.imgsz, color=(0, 0, 0),
+                                       auto=False)
+            preds, proto = fwd(variables, jnp.asarray(lb[None]))
+            dec = decode_predictions(preds, spec)
+            dets, nvalid, coeffs = non_max_suppression_seg(
+                dec, nm=args.nm, conf_thres=args.conf_thres,
+                iou_thres=args.iou_thres, max_det=args.max_det)
+            n = int(np.asarray(nvalid)[0])
+            det = np.asarray(dets[0][:n])
+            print(f"{name}: {n} instances")
+            for d in det:
+                cls = (COCO_NAMES[int(d[5])]
+                       if int(d[5]) < len(COCO_NAMES) else int(d[5]))
+                print(f"  {cls} {d[4]:.2f} "
+                      f"[{d[0]:.0f},{d[1]:.0f},{d[2]:.0f},{d[3]:.0f}]")
+            if args.save_dir and n:
+                masks = np.asarray(process_mask(
+                    proto[0], jnp.asarray(np.asarray(coeffs[0])[:n]),
+                    jnp.asarray(det[:, :4]),
+                    (args.imgsz, args.imgsz)))
+                overlay = lb.copy()
+                for mi in range(n):
+                    color = np.array([(37 * (mi + 1)) % 256,
+                                      (91 * (mi + 3)) % 256,
+                                      (53 * (mi + 7)) % 256],
+                                     np.float32) / 255.0
+                    m = masks[mi][..., None]
+                    overlay = overlay * (1 - 0.45 * m) + color * 0.45 * m
+                from adaptiveisp_tpu.obs.logging import save_img
+
+                safe = name.replace(":", "_")
+                save_img(overlay, os.path.join(args.save_dir,
+                                               safe + "_seg.png"))
+
+
+if __name__ == "__main__":
+    main()
