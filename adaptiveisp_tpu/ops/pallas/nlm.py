@@ -79,6 +79,68 @@ def _nlm_kernel(h_ref, ext_ref, out_ref, y_ref, acc_ref, *, tile: int,
     out_ref[0, 2] = jnp.clip(acc_ref[3] * inv, 0.0, 1.0)
 
 
+def _nlm_kernel_sym(h_ref, ext_ref, out_ref, y_ref, acc_ref, *, tile: int,
+                    width: int):
+    """Symmetry-halved variant of :func:`_nlm_kernel`.
+
+    NLM weights satisfy w_{-d}(p) = (S_{-d} w_d)(p) — the weight of the
+    mirrored offset is the shifted weight of the offset itself (substitute
+    q -> q+d in the patch distance).  Computing w_d once on tile+dy rows
+    therefore serves BOTH d and -d, halving the distance/sqrt/exp work
+    (the kernel's dominant cost): 60 computed offsets + the center instead
+    of 121.  Identical math, different summation order (~1e-6 vs the
+    reference chain).
+    """
+    hh = jnp.maximum(h_ref[pl.program_id(0), 0], 0.0) + EPS
+
+    rc = jnp.clip(ext_ref[0], 0.0, 1.0)
+    y_ref[...] = 0.299 * rc[0] + 0.587 * rc[1] + 0.114 * rc[2]
+
+    # center offset: w == exp(0) == 1
+    acc_ref[0] = jnp.ones_like(acc_ref[0])
+    for c in range(3):
+        acc_ref[1 + c] = ext_ref[0, c, HALO:HALO + tile, :]
+
+    # half set: dy in 1..R (all dx) plus dy == 0, dx in 1..R
+    offsets = ([(0, dx) for dx in range(1, SEARCH_R + 1)]
+               + [(dy, dx) for dy in range(1, SEARCH_R + 1)
+                  for dx in range(-SEARCH_R, SEARCH_R + 1)])
+    for dy, dx in offsets:
+        # w_d needed on rows [0, tile+dy): the forward term reads rows
+        # [0, tile), the mirrored term w_{-d}(p) = w_d(p+d) rows
+        # [dy, tile+dy)
+        n_w = tile + dy
+        lo = HALO - PATCH_R                # first d2 row = -2
+        n_d2 = n_w + 2 * PATCH_R
+        yc = y_ref[lo:lo + n_d2]
+        ys = pltpu.roll(y_ref[lo - dy:lo - dy + n_d2], dx % width, axis=1)
+        d2 = (yc - ys) ** 2                # rows [-2, tile+dy+2)
+        row = (d2[0:n_w] + d2[1:n_w + 1] + d2[2:n_w + 2]
+               + d2[3:n_w + 3] + d2[4:n_w + 4])  # w rows [0, tile+dy)
+        box = (pltpu.roll(row, width - 2, axis=1)
+               + pltpu.roll(row, width - 1, axis=1)
+               + row + pltpu.roll(row, 1, axis=1)
+               + pltpu.roll(row, 2, axis=1))
+        w = jnp.exp(-jnp.sqrt(jnp.maximum(box, 0.0)) / hh)
+
+        wf = w[0:tile]                               # w_d at p
+        wb = pltpu.roll(w[dy:dy + tile], (-dx) % width,
+                        axis=1)                      # w_{-d} at p
+        acc_ref[0] += wf + wb
+        for c in range(3):
+            acc_ref[1 + c] += (
+                wf * pltpu.roll(ext_ref[0, c, HALO - dy:HALO + tile - dy, :],
+                                dx % width, axis=1)
+                + wb * pltpu.roll(
+                    ext_ref[0, c, HALO + dy:HALO + tile + dy, :],
+                    (-dx) % width, axis=1))
+
+    inv = 1.0 / acc_ref[0]
+    out_ref[0, 0] = jnp.clip(acc_ref[1] * inv, 0.0, 1.0)
+    out_ref[0, 1] = jnp.clip(acc_ref[2] * inv, 0.0, 1.0)
+    out_ref[0, 2] = jnp.clip(acc_ref[3] * inv, 0.0, 1.0)
+
+
 def _pick_tile(h: int) -> int:
     # Mosaic hoists the 121-way unrolled shifted loads, so scoped VMEM grows
     # with tile size (~35M at tile 32, needs the raised vmem_limit below);
@@ -117,13 +179,18 @@ def _nlm_vjp_bwd(residuals, g):
 nlm_gray_pallas.defvjp(_nlm_vjp_fwd, _nlm_vjp_bwd)
 
 
-def nlm_gray_pallas_interpret(rgb, h):
+def nlm_gray_pallas_interpret(rgb, h, sym: bool = False):
     """Interpreter-mode entry for CPU tests."""
-    return _nlm_forward(rgb, h, interpret=True)
+    return _nlm_forward(rgb, h, interpret=True, sym=sym)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _nlm_forward(rgb, h, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "sym"))
+def _nlm_forward(rgb, h, interpret: bool = False, sym: bool = False):
+    # sym=True halves the distance/sqrt/exp work via weight symmetry but
+    # measured EQUAL on v5e (2.54 vs 2.51 ms at 4x512x512): the kernel is
+    # bound by lane rolls / sublane-shifted copies, not the transcendental
+    # math, and the mirrored accumulation adds rolls back.  Kept for
+    # hardware where exp is the bottleneck.
     n, height, width, _ = rgb.shape
     tile = _pick_tile(height)
 
@@ -133,7 +200,8 @@ def _nlm_forward(rgb, h, interpret: bool = False):
         [x[:, :, -HALO:, :], x, x[:, :, :HALO, :]], axis=2)
 
     grid = (n, height // tile)
-    kernel = functools.partial(_nlm_kernel, tile=tile, width=width)
+    kernel = functools.partial(_nlm_kernel_sym if sym else _nlm_kernel,
+                               tile=tile, width=width)
     out = pl.pallas_call(
         kernel,
         grid=grid,

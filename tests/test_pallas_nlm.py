@@ -31,3 +31,20 @@ def test_pallas_nlm_zero_strength():
     h = np.zeros((1, 1), np.float32)
     got = np.asarray(nlm_gray_pallas_interpret(jnp.asarray(rgb), jnp.asarray(h)))
     np.testing.assert_allclose(got, np.clip(rgb, 0, 1), atol=1e-4)
+
+
+def test_nlm_symmetric_variant_matches():
+    """The symmetry-halved kernel (w_{-d} = shifted w_d) matches the
+    baseline kernel and the XLA reference to float tolerance."""
+    from adaptiveisp_tpu.ops.denoise import nlm_gray
+
+    rng = np.random.RandomState(3)
+    rgb = rng.rand(2, 32, 32, 3).astype(np.float32)
+    h = np.array([[0.35], [0.12]], np.float32)
+    want = np.asarray(nlm_gray(jnp.asarray(rgb), jnp.asarray(h)))
+    base = np.asarray(nlm_gray_pallas_interpret(
+        jnp.asarray(rgb), jnp.asarray(h), sym=False))
+    sym = np.asarray(nlm_gray_pallas_interpret(
+        jnp.asarray(rgb), jnp.asarray(h), sym=True))
+    np.testing.assert_allclose(sym, want, atol=5e-6)
+    np.testing.assert_allclose(sym, base, atol=5e-6)
