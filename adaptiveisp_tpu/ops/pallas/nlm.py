@@ -32,6 +32,30 @@ HALO = SEARCH_R + PATCH_R  # 7
 WIN_EXTRA = 2 * HALO + 2   # window rows = tile + 16, sublane-aligned (8 | 16)
 
 
+def _prologue(h_ref, ext_ref, y_ref):
+    """Shared kernel prologue: clamp strength, build the luminance plane."""
+    hh = jnp.maximum(h_ref[pl.program_id(0), 0], 0.0) + EPS
+    rc = jnp.clip(ext_ref[0], 0.0, 1.0)
+    y_ref[...] = 0.299 * rc[0] + 0.587 * rc[1] + 0.114 * rc[2]
+    return hh
+
+
+def _box5(row, width: int):
+    """Horizontal 5-tap box sum via lane rolls (circular)."""
+    return (pltpu.roll(row, width - 2, axis=1)
+            + pltpu.roll(row, width - 1, axis=1)
+            + row + pltpu.roll(row, 1, axis=1)
+            + pltpu.roll(row, 2, axis=1))
+
+
+def _epilogue(out_ref, acc_ref):
+    """Shared normalize + clip stores."""
+    inv = 1.0 / acc_ref[0]
+    out_ref[0, 0] = jnp.clip(acc_ref[1] * inv, 0.0, 1.0)
+    out_ref[0, 1] = jnp.clip(acc_ref[2] * inv, 0.0, 1.0)
+    out_ref[0, 2] = jnp.clip(acc_ref[3] * inv, 0.0, 1.0)
+
+
 def _nlm_kernel(h_ref, ext_ref, out_ref, y_ref, acc_ref, *, tile: int,
                 width: int):
     """One (image, row-tile) grid step.
@@ -44,10 +68,7 @@ def _nlm_kernel(h_ref, ext_ref, out_ref, y_ref, acc_ref, *, tile: int,
     unrolled loop's live ranges to one iteration (a pure-SSA accumulation
     spilled ~145MB of registers).
     """
-    hh = jnp.maximum(h_ref[pl.program_id(0), 0], 0.0) + EPS
-
-    rc = jnp.clip(ext_ref[0], 0.0, 1.0)
-    y_ref[...] = 0.299 * rc[0] + 0.587 * rc[1] + 0.114 * rc[2]
+    hh = _prologue(h_ref, ext_ref, y_ref)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -62,21 +83,14 @@ def _nlm_kernel(h_ref, ext_ref, out_ref, y_ref, acc_ref, *, tile: int,
             d2 = (yc - ys) ** 2  # [tile+4, W]
             row = (d2[0:tile] + d2[1:tile + 1] + d2[2:tile + 2]
                    + d2[3:tile + 3] + d2[4:tile + 4])  # [tile, W]
-            box = (pltpu.roll(row, width - 2, axis=1)
-                   + pltpu.roll(row, width - 1, axis=1)
-                   + row + pltpu.roll(row, 1, axis=1)
-                   + pltpu.roll(row, 2, axis=1))
-            w = jnp.exp(-jnp.sqrt(jnp.maximum(box, 0.0)) / hh)
+            w = jnp.exp(-jnp.sqrt(jnp.maximum(_box5(row, width), 0.0)) / hh)
             acc_ref[0] += w
             for c in range(3):
                 acc_ref[1 + c] += w * pltpu.roll(
                     ext_ref[0, c, HALO - dy:HALO + tile - dy, :],
                     dx % width, axis=1)
 
-    inv = 1.0 / acc_ref[0]
-    out_ref[0, 0] = jnp.clip(acc_ref[1] * inv, 0.0, 1.0)
-    out_ref[0, 1] = jnp.clip(acc_ref[2] * inv, 0.0, 1.0)
-    out_ref[0, 2] = jnp.clip(acc_ref[3] * inv, 0.0, 1.0)
+    _epilogue(out_ref, acc_ref)
 
 
 def _nlm_kernel_sym(h_ref, ext_ref, out_ref, y_ref, acc_ref, *, tile: int,
@@ -91,10 +105,7 @@ def _nlm_kernel_sym(h_ref, ext_ref, out_ref, y_ref, acc_ref, *, tile: int,
     of 121.  Identical math, different summation order (~1e-6 vs the
     reference chain).
     """
-    hh = jnp.maximum(h_ref[pl.program_id(0), 0], 0.0) + EPS
-
-    rc = jnp.clip(ext_ref[0], 0.0, 1.0)
-    y_ref[...] = 0.299 * rc[0] + 0.587 * rc[1] + 0.114 * rc[2]
+    hh = _prologue(h_ref, ext_ref, y_ref)
 
     # center offset: w == exp(0) == 1
     acc_ref[0] = jnp.ones_like(acc_ref[0])
@@ -117,11 +128,7 @@ def _nlm_kernel_sym(h_ref, ext_ref, out_ref, y_ref, acc_ref, *, tile: int,
         d2 = (yc - ys) ** 2                # rows [-2, tile+dy+2)
         row = (d2[0:n_w] + d2[1:n_w + 1] + d2[2:n_w + 2]
                + d2[3:n_w + 3] + d2[4:n_w + 4])  # w rows [0, tile+dy)
-        box = (pltpu.roll(row, width - 2, axis=1)
-               + pltpu.roll(row, width - 1, axis=1)
-               + row + pltpu.roll(row, 1, axis=1)
-               + pltpu.roll(row, 2, axis=1))
-        w = jnp.exp(-jnp.sqrt(jnp.maximum(box, 0.0)) / hh)
+        w = jnp.exp(-jnp.sqrt(jnp.maximum(_box5(row, width), 0.0)) / hh)
 
         wf = w[0:tile]                               # w_d at p
         wb = pltpu.roll(w[dy:dy + tile], (-dx) % width,
@@ -135,10 +142,7 @@ def _nlm_kernel_sym(h_ref, ext_ref, out_ref, y_ref, acc_ref, *, tile: int,
                     ext_ref[0, c, HALO + dy:HALO + tile + dy, :],
                     (-dx) % width, axis=1))
 
-    inv = 1.0 / acc_ref[0]
-    out_ref[0, 0] = jnp.clip(acc_ref[1] * inv, 0.0, 1.0)
-    out_ref[0, 1] = jnp.clip(acc_ref[2] * inv, 0.0, 1.0)
-    out_ref[0, 2] = jnp.clip(acc_ref[3] * inv, 0.0, 1.0)
+    _epilogue(out_ref, acc_ref)
 
 
 def _pick_tile(h: int) -> int:
@@ -152,23 +156,25 @@ def _pick_tile(h: int) -> int:
     return h
 
 
-@jax.custom_vjp
-def nlm_gray_pallas(rgb, h):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def nlm_gray_pallas(rgb, h, sym: bool = False):
     """Gray-guided NLM, Pallas single-pass edition (differentiable).
 
     rgb: [N, H, W, 3] float32 in [0,1]; h: [N, 1].  Returns NHWC.
     Forward runs the fused kernel; the backward pass recomputes through the
     XLA reference implementation (custom_vjp), so training still
     differentiates exactly while inference/eval gets the single-pass speed.
+    sym selects the symmetry-halved kernel (equal speed on v5e; see
+    _nlm_forward).
     """
-    return _nlm_forward(rgb, h)
+    return _nlm_forward(rgb, h, sym=sym)
 
 
-def _nlm_vjp_fwd(rgb, h):
-    return _nlm_forward(rgb, h), (rgb, h)
+def _nlm_vjp_fwd(sym, rgb, h):
+    return _nlm_forward(rgb, h, sym=sym), (rgb, h)
 
 
-def _nlm_vjp_bwd(residuals, g):
+def _nlm_vjp_bwd(sym, residuals, g):
     from adaptiveisp_tpu.ops.denoise import nlm_gray
 
     rgb, h = residuals

@@ -35,11 +35,12 @@ def test_pallas_nlm_zero_strength():
 
 def test_nlm_symmetric_variant_matches():
     """The symmetry-halved kernel (w_{-d} = shifted w_d) matches the
-    baseline kernel and the XLA reference to float tolerance."""
+    baseline kernel and the XLA reference to float tolerance — at H=64
+    (tile 32) so the variant's cross-tile mirror slices execute."""
     from adaptiveisp_tpu.ops.denoise import nlm_gray
 
     rng = np.random.RandomState(3)
-    rgb = rng.rand(2, 32, 32, 3).astype(np.float32)
+    rgb = rng.rand(2, 64, 64, 3).astype(np.float32)
     h = np.array([[0.35], [0.12]], np.float32)
     want = np.asarray(nlm_gray(jnp.asarray(rgb), jnp.asarray(h)))
     base = np.asarray(nlm_gray_pallas_interpret(
