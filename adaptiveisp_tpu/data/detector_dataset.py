@@ -234,11 +234,19 @@ class DetectorDataset:
             masks.append(m)
         return (np.stack(imgs), np.stack(tgts), np.stack(masks))
 
-    def epoch_batches(self, shuffle: bool = True, t_max: int = 64):
-        """Yield full batches for one epoch (drops the ragged tail)."""
+    def epoch_batches(self, shuffle: bool = True, t_max: int = 64,
+                      shard_rank: int = 0, shard_count: int = 1):
+        """Yield full batches for one epoch (drops the ragged tail).
+
+        shard_rank/shard_count give per-host data sharding — the
+        DistributedSampler analog (reference dataloader.py:78): each host
+        consumes a disjoint strided slice of the (identically shuffled)
+        epoch order."""
         order = self.indices.copy()
         if shuffle and not self.rect:
             self.rng.shuffle(order)
+        if shard_count > 1:
+            order = order[shard_rank::shard_count]
         bs = self.batch_size
         for k in range(len(order) // bs):
             yield self.collate(order[k * bs:(k + 1) * bs], t_max=t_max)

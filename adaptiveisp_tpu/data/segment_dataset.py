@@ -132,10 +132,16 @@ class SegmentDataset:
                 masks[bi, :k] = m[:k]
         return images, targets, tmask, masks
 
-    def epoch_batches(self, shuffle: bool = True, t_max: int = 32):
+    def epoch_batches(self, shuffle: bool = True, t_max: int = 32,
+                      shard_rank: int = 0, shard_count: int = 1):
+        """Per-host sharding as in DetectorDataset.epoch_batches (same
+        seed across hosts -> identical shuffle -> disjoint strided
+        slices)."""
         order = np.arange(len(self))
         if shuffle:
             self.rng.shuffle(order)
+        if shard_count > 1:
+            order = order[shard_rank::shard_count]
         bs = self.batch_size
         for s in range(0, len(order) - bs + 1, bs):
             yield self.collate(order[s:s + bs], t_max=t_max)

@@ -370,3 +370,23 @@ def test_trainer_dp_mesh_matches_single_device(shapes_dataset):
     s_leaf = np.asarray(jax.tree_util.tree_leaves(s_state.params)[0])
     d_leaf = np.asarray(jax.tree_util.tree_leaves(d_state.params)[0])
     np.testing.assert_allclose(s_leaf, d_leaf, rtol=2e-3, atol=2e-5)
+
+
+def test_epoch_batches_host_sharding(shapes_dataset):
+    """shard_rank/shard_count yield disjoint strided slices of one
+    identically-shuffled epoch (the DistributedSampler analog)."""
+    def paths_of(rank, count):
+        ds = DetectorDataset(shapes_dataset, img_size=96, batch_size=2,
+                             augment=False, seed=5)
+        seen = []
+        for images, targets, tmask in ds.epoch_batches(
+                shard_rank=rank, shard_count=count):
+            seen.append(images.sum())  # content fingerprint
+        return seen
+
+    a = paths_of(0, 2)
+    b = paths_of(1, 2)
+    full = paths_of(0, 1)
+    assert len(a) == len(b) == 4 and len(full) == 8
+    # disjoint fingerprints (random images -> sums unique)
+    assert not (set(np.round(a, 3)) & set(np.round(b, 3)))
