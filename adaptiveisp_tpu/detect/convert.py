@@ -113,9 +113,44 @@ def convert_yolo_state_dict(sd: Dict[str, np.ndarray], n_layers: int = 29,
                 else:
                     convert_convbn(base, (name,))
         else:
-            if f"model.{i}.cv1.conv.weight" in sd:
+            mrep = sorted({int(k.split(".")[3]) for k in lk
+                           if k.split(".")[2] == "m"
+                           and k.split(".")[3].isdigit()})
+            if f"model.{i}.cv4.conv.weight" in sd:
+                # BottleneckCSP (common.py:123-139): cv1/cv4 Conv+BN,
+                # cv2/cv3 raw convs, one standalone BN, m.{r} bottlenecks
+                convert_convbn(f"model.{i}.cv1", (f"l{i}", "cv1"))
+                convert_convbn(f"model.{i}.cv4", (f"l{i}", "cv4"))
+                for cv in ("cv2", "cv3"):
+                    put(params, (f"l{i}", cv, "kernel"),
+                        conv_weight(sd[f"model.{i}.{cv}.weight"]))
+                put(params, (f"l{i}", "bn", "scale"),
+                    _np(sd[f"model.{i}.bn.weight"]))
+                put(params, (f"l{i}", "bn", "bias"),
+                    _np(sd[f"model.{i}.bn.bias"]))
+                put(stats, (f"l{i}", "bn", "mean"),
+                    _np(sd[f"model.{i}.bn.running_mean"]))
+                put(stats, (f"l{i}", "bn", "var"),
+                    _np(sd[f"model.{i}.bn.running_var"]))
+                for r in mrep:
+                    for cv in ("cv1", "cv2"):
+                        convert_convbn(f"model.{i}.m.{r}.{cv}",
+                                       (f"l{i}", f"m{r}", cv))
+            elif f"model.{i}.cv3.conv.weight" in sd:
+                # C3 (common.py:156-167): cv1/cv2/cv3 Conv+BN + m.{r}
+                for cv in ("cv1", "cv2", "cv3"):
+                    convert_convbn(f"model.{i}.{cv}", (f"l{i}", cv))
+                for r in mrep:
+                    for cv in ("cv1", "cv2"):
+                        convert_convbn(f"model.{i}.m.{r}.{cv}",
+                                       (f"l{i}", f"m{r}", cv))
+            elif f"model.{i}.cv1.conv.weight" in sd:
+                # Bottleneck / SPP / SPPF: cv1 + cv2 Conv+BN pairs
                 convert_convbn(f"model.{i}.cv1", (f"l{i}", "cv1"))
                 convert_convbn(f"model.{i}.cv2", (f"l{i}", "cv2"))
+            elif f"model.{i}.conv.conv.weight" in sd:
+                # Focus (common.py:215-227): an inner Conv module
+                convert_convbn(f"model.{i}.conv", (f"l{i}", "conv"))
             elif f"model.{i}.conv.weight" in sd:
                 convert_convbn(f"model.{i}", (f"l{i}",))
             # else: parameter-free layer (Upsample/Concat/MaxPool)

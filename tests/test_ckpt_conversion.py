@@ -214,3 +214,147 @@ def test_agent_conversion_parity():
     want_exposure = want_exposure * 7.0 - 3.5
     np.testing.assert_allclose(np.asarray(info["filter_params"][0]),
                                want_exposure, rtol=1e-3, atol=1e-4)
+
+
+# --------------------------------------------------------------------------- #
+# CSP-family (v5) conversion: Focus / C3 / SPPF with ultralytics naming
+# --------------------------------------------------------------------------- #
+class _TConv(nn.Module):
+    """conv(bias=False)+BN+SiLU with ultralytics child names."""
+
+    def __init__(self, c1, c2, k=1, s=1, p=None):
+        super().__init__()
+        p = k // 2 if p is None else p
+        self.conv = nn.Conv2d(c1, c2, k, s, p, bias=False)
+        self.bn = nn.BatchNorm2d(c2)
+
+    def forward(self, x):
+        return torch.nn.functional.silu(self.bn(self.conv(x)))
+
+
+class _TFocus(nn.Module):
+    def __init__(self, c1, c2, k=1):
+        super().__init__()
+        self.conv = _TConv(c1 * 4, c2, k)
+
+    def forward(self, x):
+        return self.conv(torch.cat((
+            x[..., ::2, ::2], x[..., 1::2, ::2],
+            x[..., ::2, 1::2], x[..., 1::2, 1::2]), 1))
+
+
+class _TBottleneck(nn.Module):
+    def __init__(self, c1, c2, e=1.0):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = _TConv(c1, c_, 1)
+        self.cv2 = _TConv(c_, c2, 3)
+
+    def forward(self, x):
+        return x + self.cv2(self.cv1(x))
+
+
+class _TC3(nn.Module):
+    def __init__(self, c1, c2, n=1, e=0.5):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = _TConv(c1, c_, 1)
+        self.cv2 = _TConv(c1, c_, 1)
+        self.cv3 = _TConv(2 * c_, c2, 1)
+        self.m = nn.Sequential(*(
+            _TBottleneck(c_, c_, e=1.0) for _ in range(n)))
+
+    def forward(self, x):
+        return self.cv3(torch.cat((self.m(self.cv1(x)),
+                                   self.cv2(x)), 1))
+
+
+class _TSPPF(nn.Module):
+    def __init__(self, c1, c2, k=5):
+        super().__init__()
+        c_ = c1 // 2
+        self.cv1 = _TConv(c1, c_, 1)
+        self.cv2 = _TConv(c_ * 4, c2, 1)
+        self.mp = nn.MaxPool2d(k, 1, k // 2)
+
+    def forward(self, x):
+        x = self.cv1(x)
+        y1 = self.mp(x)
+        y2 = self.mp(y1)
+        return self.cv2(torch.cat((x, y1, y2, self.mp(y2)), 1))
+
+
+class _TDetect(nn.Module):
+    def __init__(self, chs, na, no):
+        super().__init__()
+        self.m = nn.ModuleList(nn.Conv2d(c, na * no, 1) for c in chs)
+
+
+def test_csp_family_conversion_parity():
+    """Focus -> Conv -> C3(n=2) -> Conv -> SPPF -> Detect converts to the
+    flax executor with per-level outputs matching torch to 1e-4."""
+    torch.manual_seed(0)
+    nc, na = 2, 3
+    anchors = [[10, 14, 23, 27, 37, 58], [81, 82, 135, 169, 344, 319]]
+
+    class TorchNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = nn.Sequential(
+                _TFocus(3, 16, 3),          # 0: /2
+                _TConv(16, 32, 3, 2),       # 1: /4
+                _TC3(32, 32, n=2),          # 2
+                _TConv(32, 64, 3, 2),       # 3: /8
+                _TSPPF(64, 64, 5),          # 4
+                _TDetect([32, 64], na, nc + 5),  # 5
+            )
+
+        def forward(self, x):
+            x = self.model[0](x)
+            x = self.model[1](x)
+            p4 = self.model[2](x)
+            x = self.model[3](p4)
+            p5 = self.model[4](x)
+            det = self.model[5]
+            outs = []
+            for lvl, feat in enumerate((p4, p5)):
+                y = det.m[lvl](feat)
+                b, _, ny, nx = y.shape
+                outs.append(
+                    y.view(b, na, nc + 5, ny, nx)
+                    .permute(0, 3, 4, 1, 2).contiguous())
+            return outs
+
+    tnet = TorchNet().eval()
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()
+          if "num_batches" not in k}
+    params, stats = C.convert_yolo_state_dict(sd, n_levels=2)
+
+    from adaptiveisp_tpu.detect.model import DetectionModel
+
+    spec = {
+        "nc": nc,
+        "anchors": anchors,
+        "backbone": [
+            [-1, 1, "Focus", [16, 3, 1]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 2, "C3", [32]],
+            [-1, 1, "Conv", [64, 3, 2]],
+            [-1, 1, "SPPF", [64, 5]],
+        ],
+        "head": [[[2, 4], 1, "Detect", ["nc", "anchors"]]],
+    }
+    model = DetectionModel(spec=spec)
+    variables = {"params": params, "batch_stats": stats}
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        want = TorchNet.forward(tnet, torch.from_numpy(
+            x.transpose(0, 3, 1, 2)))
+    got = model.apply(variables, jnp.asarray(x), train=False)
+    assert len(got) == 2
+    for lvl in range(2):
+        np.testing.assert_allclose(
+            np.asarray(got[lvl]), want[lvl].numpy(), atol=1e-4,
+            err_msg=f"level {lvl}")
