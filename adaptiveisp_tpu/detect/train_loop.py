@@ -301,9 +301,33 @@ class DetectorTrainer:
             log = EpochLog(epoch, loss, lr_now, metrics, fit,
                            time.time() - t0)
             self.history.append(log)
+            self._append_csv(log)
             if self.stopper(epoch, fit):
                 break
         return self.history
+
+    def _append_csv(self, log: EpochLog):
+        """Per-epoch results.csv (the reference Loggers' csv sink,
+        utils/loggers/__init__.py:61-134)."""
+        if self.save_dir is None:
+            return
+        os.makedirs(self.save_dir, exist_ok=True)
+        path = os.path.join(self.save_dir, "results.csv")
+        flat = {"epoch": log.epoch, "loss": log.loss, "lr": log.lr,
+                "fitness": log.fitness, "seconds": round(log.seconds, 2)}
+        for k, v in log.metrics.items():
+            if isinstance(v, dict):
+                for k2, v2 in v.items():
+                    if isinstance(v2, (int, float)):
+                        flat[f"{k}/{k2}"] = v2
+            elif isinstance(v, (int, float)):
+                flat[k] = v
+        new = not os.path.exists(path)
+        with open(path, "a") as f:
+            if new:
+                f.write(",".join(flat) + "\n")
+            f.write(",".join(f"{v:.6g}" if isinstance(v, float) else str(v)
+                             for v in flat.values()) + "\n")
 
 
 def load_detector_checkpoint(path: str):
