@@ -56,12 +56,22 @@ def nlm_gray(rgb, h, search_window_size: int = 11, patch_size: int = 5):
         for dy in range(-r, r + 1):
             shifted_rgb = jnp.roll(rgb, (dy, dx), axis=(1, 2))
             shifted_y = jnp.roll(y, (dy, dx), axis=(1, 2))
-            dist = jnp.sqrt(
-                jnp.maximum(box_sum((y - shifted_y) ** 2, patch_size), 0.0))
+            dist = _safe_sqrt(box_sum((y - shifted_y) ** 2, patch_size))
             w = jnp.exp(-dist / hh)
             denoised = denoised + shifted_rgb * w
             weights = weights + w
     return jnp.clip(denoised / weights, 0.0, 1.0)
+
+
+def _safe_sqrt(x):
+    """sqrt with torch-relu-backward semantics: zero gradient at x <= 0.
+
+    torch's relu backward SELECTS 0 (sqrt's inf cotangent never
+    multiplies in), but jax's sqrt(maximum(x, 0)) propagates inf * 0 =
+    NaN at the identically-zero center offset — the double-where keeps
+    forward values identical and the x<=0 branch's gradient exactly 0."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
 def nlm_gray_dispatch(rgb, h, use_pallas: bool = True):
@@ -88,8 +98,7 @@ def nlm_rgb(rgb, h, search_window_size: int = 21, patch_size: int = 7):
     for dx in range(-r, r + 1):
         for dy in range(-r, r + 1):
             shifted = jnp.roll(rgb, (dy, dx), axis=(1, 2))
-            dist = jnp.sqrt(
-                jnp.maximum(box_sum((rgb - shifted) ** 2, patch_size), 0.0))
+            dist = _safe_sqrt(box_sum((rgb - shifted) ** 2, patch_size))
             w = jnp.exp(-dist / hh)
             denoised = denoised + shifted * w
             weights = weights + w

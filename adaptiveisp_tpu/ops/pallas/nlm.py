@@ -156,7 +156,6 @@ def _pick_tile(h: int) -> int:
     return h
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def nlm_gray_pallas(rgb, h, sym: bool = False):
     """Gray-guided NLM, Pallas single-pass edition (differentiable).
 
@@ -165,16 +164,14 @@ def nlm_gray_pallas(rgb, h, sym: bool = False):
     XLA reference implementation (custom_vjp), so training still
     differentiates exactly while inference/eval gets the single-pass speed.
     sym selects the symmetry-halved kernel (equal speed on v5e; see
-    _nlm_forward).
+    _nlm_forward).  Two separately-decorated custom_vjp entries rather
+    than a nondiff_argnums flag: a defaulted nondiff positional mis-binds
+    the vjp arguments when the caller omits it.
     """
-    return _nlm_forward(rgb, h, sym=sym)
+    return _nlm_pallas_sym(rgb, h) if sym else _nlm_pallas_base(rgb, h)
 
 
-def _nlm_vjp_fwd(sym, rgb, h):
-    return _nlm_forward(rgb, h, sym=sym), (rgb, h)
-
-
-def _nlm_vjp_bwd(sym, residuals, g):
+def _nlm_vjp_bwd(residuals, g):
     from adaptiveisp_tpu.ops.denoise import nlm_gray
 
     rgb, h = residuals
@@ -182,7 +179,24 @@ def _nlm_vjp_bwd(sym, residuals, g):
     return vjp(g)
 
 
-nlm_gray_pallas.defvjp(_nlm_vjp_fwd, _nlm_vjp_bwd)
+@jax.custom_vjp
+def _nlm_pallas_base(rgb, h):
+    return _nlm_forward(rgb, h, sym=False)
+
+
+_nlm_pallas_base.defvjp(
+    lambda rgb, h: (_nlm_forward(rgb, h, sym=False), (rgb, h)),
+    _nlm_vjp_bwd)
+
+
+@jax.custom_vjp
+def _nlm_pallas_sym(rgb, h):
+    return _nlm_forward(rgb, h, sym=True)
+
+
+_nlm_pallas_sym.defvjp(
+    lambda rgb, h: (_nlm_forward(rgb, h, sym=True), (rgb, h)),
+    _nlm_vjp_bwd)
 
 
 def nlm_gray_pallas_interpret(rgb, h, sym: bool = False):

@@ -129,3 +129,23 @@ def test_unsharp_mask_per_sample_params():
     np.testing.assert_allclose(out[0], img[0], atol=1e-6)
     # amount 2 -> changed
     assert np.abs(out[1] - img[1]).max() > 1e-3
+
+
+def test_nlm_image_gradient_finite():
+    """The center offset's identically-zero patch distance must not NaN the
+    image gradient (torch's relu backward selects 0; jax's
+    sqrt(maximum(x,0)) chain propagated inf*0=NaN before the double-where
+    guard).  Matters for any pipeline differentiated through chained
+    filter applications (e.g. fixed-pipeline optimization with denoise)."""
+    import jax
+
+    from adaptiveisp_tpu.ops.denoise import nlm_gray, nlm_rgb
+
+    rgb = jnp.asarray(RNG.rand(1, 16, 16, 3).astype(np.float32))
+    h = jnp.asarray(np.array([[0.4]], np.float32))
+    for fn in (nlm_gray, nlm_rgb):
+        g_img, g_h = jax.grad(
+            lambda r, hh: fn(r, hh).mean(), argnums=(0, 1))(rgb, h)
+        assert np.isfinite(np.asarray(g_img)).all(), fn.__name__
+        assert np.isfinite(np.asarray(g_h)).all(), fn.__name__
+        assert np.abs(np.asarray(g_img)).max() > 0, fn.__name__
