@@ -48,16 +48,19 @@ def _box5(row, width: int):
             + pltpu.roll(row, 2, axis=1))
 
 
-def _epilogue(out_ref, acc_ref):
-    """Shared normalize + clip stores."""
+def _epilogue(out_ref, wsum_ref, acc_ref):
+    """Shared normalize stores: UNCLIPPED ratio + the weight sum (the
+    final clip lives outside the kernel so the custom backward can reuse
+    jax's own clip vjp semantics)."""
     inv = 1.0 / acc_ref[0]
-    out_ref[0, 0] = jnp.clip(acc_ref[1] * inv, 0.0, 1.0)
-    out_ref[0, 1] = jnp.clip(acc_ref[2] * inv, 0.0, 1.0)
-    out_ref[0, 2] = jnp.clip(acc_ref[3] * inv, 0.0, 1.0)
+    out_ref[0, 0] = acc_ref[1] * inv
+    out_ref[0, 1] = acc_ref[2] * inv
+    out_ref[0, 2] = acc_ref[3] * inv
+    wsum_ref[0, 0] = acc_ref[0]
 
 
-def _nlm_kernel(h_ref, ext_ref, out_ref, y_ref, acc_ref, *, tile: int,
-                width: int):
+def _nlm_kernel(h_ref, ext_ref, out_ref, wsum_ref, y_ref, acc_ref, *,
+                tile: int, width: int):
     """One (image, row-tile) grid step.
 
     h_ref: [N, 1] SMEM strengths (whole array; indexed by grid position);
@@ -90,11 +93,11 @@ def _nlm_kernel(h_ref, ext_ref, out_ref, y_ref, acc_ref, *, tile: int,
                     ext_ref[0, c, HALO - dy:HALO + tile - dy, :],
                     dx % width, axis=1)
 
-    _epilogue(out_ref, acc_ref)
+    _epilogue(out_ref, wsum_ref, acc_ref)
 
 
-def _nlm_kernel_sym(h_ref, ext_ref, out_ref, y_ref, acc_ref, *, tile: int,
-                    width: int):
+def _nlm_kernel_sym(h_ref, ext_ref, out_ref, wsum_ref, y_ref, acc_ref, *,
+                    tile: int, width: int):
     """Symmetry-halved variant of :func:`_nlm_kernel`.
 
     NLM weights satisfy w_{-d}(p) = (S_{-d} w_d)(p) — the weight of the
@@ -142,7 +145,7 @@ def _nlm_kernel_sym(h_ref, ext_ref, out_ref, y_ref, acc_ref, *, tile: int,
                     ext_ref[0, c, HALO + dy:HALO + tile + dy, :],
                     (-dx) % width, axis=1))
 
-    _epilogue(out_ref, acc_ref)
+    _epilogue(out_ref, wsum_ref, acc_ref)
 
 
 def _pick_tile(h: int) -> int:
@@ -160,10 +163,11 @@ def nlm_gray_pallas(rgb, h, sym: bool = False):
     """Gray-guided NLM, Pallas single-pass edition (differentiable).
 
     rgb: [N, H, W, 3] float32 in [0,1]; h: [N, 1].  Returns NHWC.
-    Forward runs the fused kernel; the backward pass recomputes through the
-    XLA reference implementation (custom_vjp), so training still
-    differentiates exactly while inference/eval gets the single-pass speed.
-    sym selects the symmetry-halved kernel (equal speed on v5e; see
+    Forward AND backward are fused Pallas kernels (the backward recomputes
+    the per-offset weights on-chip; residuals are just the forward's U and
+    weight-sum planes).  The XLA-recompute backward it replaces cost ~79 ms
+    at batch 8 @ 512px vs ~6 ms forward — it dominated the RL train step.
+    sym selects the symmetry-halved forward (equal speed on v5e; see
     _nlm_forward).  Two separately-decorated custom_vjp entries rather
     than a nondiff_argnums flag: a defaulted nondiff positional mis-binds
     the vjp arguments when the caller omits it.
@@ -171,12 +175,20 @@ def nlm_gray_pallas(rgb, h, sym: bool = False):
     return _nlm_pallas_sym(rgb, h) if sym else _nlm_pallas_base(rgb, h)
 
 
-def _nlm_vjp_bwd(residuals, g):
-    from adaptiveisp_tpu.ops.denoise import nlm_gray
+def _nlm_vjp_fwd(rgb, h, sym):
+    u, wsum = _nlm_forward_uw(rgb, h, sym=sym)
+    return jnp.clip(u, 0.0, 1.0), (rgb, h, u, wsum)
 
-    rgb, h = residuals
-    _, vjp = jax.vjp(nlm_gray, rgb, h)
-    return vjp(g)
+
+def _nlm_vjp_bwd(residuals, g):
+    """Fused Pallas backward; jax's own vjps wrap the clip and the h-relu
+    so tie-gradient semantics match the XLA autodiff exactly."""
+    rgb, h, u, wsum = residuals
+    _, clip_vjp = jax.vjp(lambda x: jnp.clip(x, 0.0, 1.0), u)
+    v = clip_vjp(g)[0]
+    drgb, dhh = _nlm_backward(rgb, h, v, u, wsum)
+    _, relu_vjp = jax.vjp(lambda x: jnp.maximum(x, 0.0), h)
+    return drgb, relu_vjp(dhh)[0]
 
 
 @jax.custom_vjp
@@ -184,9 +196,8 @@ def _nlm_pallas_base(rgb, h):
     return _nlm_forward(rgb, h, sym=False)
 
 
-_nlm_pallas_base.defvjp(
-    lambda rgb, h: (_nlm_forward(rgb, h, sym=False), (rgb, h)),
-    _nlm_vjp_bwd)
+_nlm_pallas_base.defvjp(lambda rgb, h: _nlm_vjp_fwd(rgb, h, False),
+                        _nlm_vjp_bwd)
 
 
 @jax.custom_vjp
@@ -194,9 +205,8 @@ def _nlm_pallas_sym(rgb, h):
     return _nlm_forward(rgb, h, sym=True)
 
 
-_nlm_pallas_sym.defvjp(
-    lambda rgb, h: (_nlm_forward(rgb, h, sym=True), (rgb, h)),
-    _nlm_vjp_bwd)
+_nlm_pallas_sym.defvjp(lambda rgb, h: _nlm_vjp_fwd(rgb, h, True),
+                       _nlm_vjp_bwd)
 
 
 def nlm_gray_pallas_interpret(rgb, h, sym: bool = False):
@@ -206,11 +216,17 @@ def nlm_gray_pallas_interpret(rgb, h, sym: bool = False):
 
 @functools.partial(jax.jit, static_argnames=("interpret", "sym"))
 def _nlm_forward(rgb, h, interpret: bool = False, sym: bool = False):
-    # sym=True halves the distance/sqrt/exp work via weight symmetry but
-    # measured EQUAL on v5e (2.54 vs 2.51 ms at 4x512x512): the kernel is
-    # bound by lane rolls / sublane-shifted copies, not the transcendental
-    # math, and the mirrored accumulation adds rolls back.  Kept for
-    # hardware where exp is the bottleneck.
+    u, _ = _nlm_forward_uw(rgb, h, interpret=interpret, sym=sym)
+    return jnp.clip(u, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "sym"))
+def _nlm_forward_uw(rgb, h, interpret: bool = False, sym: bool = False):
+    """Forward returning (UNCLIPPED ratio, weight sum) — the backward's
+    residuals.  sym=True halves the distance/sqrt/exp work via weight
+    symmetry but measured EQUAL on v5e (2.54 vs 2.51 ms at 4x512x512): the
+    kernel is bound by lane rolls / sublane-shifted copies, not the
+    transcendental math.  Kept for hardware where exp is the bottleneck."""
     n, height, width, _ = rgb.shape
     tile = _pick_tile(height)
 
@@ -222,7 +238,7 @@ def _nlm_forward(rgb, h, interpret: bool = False, sym: bool = False):
     grid = (n, height // tile)
     kernel = functools.partial(_nlm_kernel_sym if sym else _nlm_kernel,
                                tile=tile, width=width)
-    out = pl.pallas_call(
+    out, wsum = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -231,10 +247,16 @@ def _nlm_forward(rgb, h, interpret: bool = False, sym: bool = False):
                          lambda i, t: (i, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, tile, width),
-                               lambda i, t: (i, 0, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 3, height, width), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, 3, tile, width), lambda i, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile, width), lambda i, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 3, height, width), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, height, width), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((tile + WIN_EXTRA, width), jnp.float32),
             pltpu.VMEM((4, tile, width), jnp.float32),
@@ -243,7 +265,8 @@ def _nlm_forward(rgb, h, interpret: bool = False, sym: bool = False):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(h.astype(jnp.float32), _overlap_rows(ext, tile, height))
-    return jnp.transpose(out, (0, 2, 3, 1))
+    return (jnp.transpose(out, (0, 2, 3, 1)),
+            jnp.transpose(wsum, (0, 2, 3, 1)))
 
 
 def _overlap_rows(ext, tile: int, height: int):
@@ -257,3 +280,173 @@ def _overlap_rows(ext, tile: int, height: int):
     wins = [ext[:, :, t * tile:t * tile + tile + WIN_EXTRA, :]
             for t in range(num)]
     return jnp.concatenate(wins, axis=2)
+
+
+# --------------------------------------------------------------------------- #
+# Fused Pallas BACKWARD
+# --------------------------------------------------------------------------- #
+# The XLA-recompute backward materialized ~121 full-size intermediates in
+# HBM (~79 ms at batch 8 @ 512px vs 6 ms forward).  This kernel recomputes
+# each offset's weight chain in VMEM and accumulates all four adjoint
+# paths on-chip:
+#   U = O / W,  O = sum_d w_d * S_d(rgb),  W = sum_d w_d,
+#   w_d = exp(-sqrt_safe(box5x5((y - S_d y)^2)) / hh),  y = lum(clip(rgb))
+# with cotangent v (already through the output-clip vjp):
+#   a_c = v_c / W                       (dL/dO_c)
+#   q   = -(sum_c v_c U_c) / W          (dL/dW)
+#   dL/drgb_c += S_{-d}(w_d * a_c)                       [direct intensity]
+#   g_w = sum_c a_c * S_d(rgb_c) + q                     (dL/dw_d)
+#   dL/dhh += sum g_w * w_d * s_d / hh^2                 [strength]
+#   db = where(b > 0, -0.5 * g_w * w / (hh * s), 0)      (dL/db, safe-sqrt)
+#   dd2 = box5x5(db)        (the box sum is self-adjoint)
+#   dL/dy += 2 (y - S_d y) * dd2  -  S_{-d}(2 (y - S_d y) * dd2)
+# and finally dL/drgb_c += lum_c * clipmask(rgb_c) * dL/dy.
+# Cross-tile adjoint flow is handled by GATHERING: each tile recomputes
+# the per-offset chain for 7 neighbor rows on each side (db rows
+# [-7, tile+7)), so no tile ever scatters into another tile's output.
+
+HALO_BY = 16   # ext/y halo for the backward (needs >= 14; 16 aligns)
+HALO_BC = 8    # cotangent/U/W halo (needs >= 7; 8 aligns)
+
+
+def _clip_mask(x):
+    """vjp mask of clip(x, 0, 1) with jax's tie semantics (0.5 at exact
+    bounds, from minimum/maximum's split gradient)."""
+    inside = ((x > 0.0) & (x < 1.0)).astype(x.dtype)
+    tie = ((x == 0.0) | (x == 1.0)).astype(x.dtype)
+    return inside + 0.5 * tie
+
+
+def _nlm_bwd_kernel(h_ref, ext_ref, v_ref, u_ref, wsum_ref,
+                    drgb_ref, dh_ref, y_ref, aq_ref, acc_ref, *,
+                    tile: int, width: int):
+    hh = jnp.maximum(h_ref[pl.program_id(0), 0], 0.0) + EPS
+    rc = jnp.clip(ext_ref[0], 0.0, 1.0)
+    y_ref[...] = 0.299 * rc[0] + 0.587 * rc[1] + 0.114 * rc[2]
+
+    inv_w = 1.0 / wsum_ref[0, 0]
+    for c in range(3):
+        aq_ref[c] = v_ref[0, c] * inv_w
+    aq_ref[3] = -(v_ref[0, 0] * u_ref[0, 0] + v_ref[0, 1] * u_ref[0, 1]
+                  + v_ref[0, 2] * u_ref[0, 2]) * inv_w
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    nb = tile + 14          # chain rows [-7, tile+7)
+    nd2 = nb + 4            # d2 rows [-9, tile+9)
+    for dy in range(-SEARCH_R, SEARCH_R + 1):
+        yc = y_ref[HALO_BY - 9:HALO_BY - 9 + nd2]
+        ys_rows = y_ref[HALO_BY - 9 - dy:HALO_BY - 9 - dy + nd2]
+        for dx in range(-SEARCH_R, SEARCH_R + 1):
+            ys = pltpu.roll(ys_rows, dx % width, axis=1)
+            diff = yc - ys
+            d2 = diff * diff                       # rows [-9, tile+9)
+            row = (d2[0:nb] + d2[1:nb + 1] + d2[2:nb + 2]
+                   + d2[3:nb + 3] + d2[4:nb + 4])  # rows [-7, tile+7)
+            b = _box5(row, width)
+            pos = b > 0.0
+            s = jnp.sqrt(jnp.where(pos, b, 1.0))
+            w = jnp.exp(-jnp.where(pos, s, 0.0) / hh)
+
+            g_w = aq_ref[3, HALO_BC - 7:HALO_BC + tile + 7]
+            for c in range(3):
+                srgb = pltpu.roll(
+                    ext_ref[0, c, HALO_BY - 7 - dy:HALO_BY + tile + 7 - dy],
+                    dx % width, axis=1)
+                g_w = g_w + aq_ref[c, HALO_BC - 7:HALO_BC + tile + 7] * srgb
+
+            gww = g_w * w
+            acc_ref[4] += (gww * jnp.where(pos, s, 0.0))[7:7 + tile]
+
+            db = jnp.where(pos, -0.5 * gww / (hh * s), 0.0)
+            dd2r = (db[0:tile + 10] + db[1:tile + 11] + db[2:tile + 12]
+                    + db[3:tile + 13] + db[4:tile + 14])
+            dd2 = _box5(dd2r, width)               # rows [-5, tile+5)
+            z1 = 2.0 * diff[4:4 + tile + 10] * dd2
+            acc_ref[3] += z1[5:5 + tile]
+            acc_ref[3] -= pltpu.roll(z1[5 + dy:5 + dy + tile],
+                                     (-dx) % width, axis=1)
+
+            for c in range(3):
+                wa = w * aq_ref[c, HALO_BC - 7:HALO_BC + tile + 7]
+                acc_ref[c] += pltpu.roll(wa[7 + dy:7 + dy + tile],
+                                         (-dx) % width, axis=1)
+
+    lum = (0.299, 0.587, 0.114)
+    for c in range(3):
+        x = ext_ref[0, c, HALO_BY:HALO_BY + tile]
+        drgb_ref[0, c] = acc_ref[c] + lum[c] * _clip_mask(x) * acc_ref[3]
+    # whole [n, ntiles] partial-sum table rides along as one SMEM block
+    # (per-grid-step (1,1) blocks fail the mosaic block-shape rule)
+    dh_ref[pl.program_id(0), pl.program_id(1)] = (
+        jnp.sum(acc_ref[4]) / (hh * hh))
+
+
+def _overlap_rows_g(padded, tile: int, height: int, halo: int):
+    """Generic overlapping-window materialisation: padded [N, C, H+2*halo,
+    W] -> windows of (tile + 2*halo) rows per tile, concatenated."""
+    num = height // tile
+    win = tile + 2 * halo
+    return jnp.concatenate(
+        [padded[:, :, t * tile:t * tile + win, :] for t in range(num)],
+        axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _nlm_backward(rgb, h, v, u, wsum, interpret: bool = False):
+    """Pallas backward: returns (dL/drgb NHWC, dL/dhh [N, 1])."""
+    n, height, width, _ = rgb.shape
+    tile = min(_pick_tile(height), 16)
+
+    def nchw_pad(x, halo):
+        t = jnp.transpose(x, (0, 3, 1, 2))
+        return jnp.concatenate(
+            [t[:, :, -halo:, :], t, t[:, :, :halo, :]], axis=2)
+
+    ext = _overlap_rows_g(nchw_pad(rgb, HALO_BY), tile, height, HALO_BY)
+    vw = _overlap_rows_g(nchw_pad(v, HALO_BC), tile, height, HALO_BC)
+    uw = _overlap_rows_g(nchw_pad(u, HALO_BC), tile, height, HALO_BC)
+    ww = _overlap_rows_g(nchw_pad(wsum, HALO_BC), tile, height, HALO_BC)
+
+    ntiles = height // tile
+    grid = (n, ntiles)
+    kernel = functools.partial(_nlm_bwd_kernel, tile=tile, width=width)
+    drgb, dhp = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, tile + 2 * HALO_BY, width),
+                         lambda i, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile + 2 * HALO_BC, width),
+                         lambda i, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile + 2 * HALO_BC, width),
+                         lambda i, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile + 2 * HALO_BC, width),
+                         lambda i, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, tile, width), lambda i, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, ntiles), lambda i, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 3, height, width), jnp.float32),
+            jax.ShapeDtypeStruct((n, ntiles), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * HALO_BY, width), jnp.float32),
+            pltpu.VMEM((4, tile + 2 * HALO_BC, width), jnp.float32),
+            pltpu.VMEM((5, tile, width), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(h.astype(jnp.float32), ext, vw, uw, ww)
+    return (jnp.transpose(drgb, (0, 2, 3, 1)),
+            jnp.sum(dhp, axis=1, keepdims=True))
