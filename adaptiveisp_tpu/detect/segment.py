@@ -84,18 +84,103 @@ def scale_image(im1_shape, masks, im0_shape, ratio_pad=None):
     return out
 
 
-def masks_to_segments(masks):
-    """Binary masks -> polygon-ish bounding extents for quick artifact
-    dumps (cheap stand-in for cv2.findContours, host-side)."""
+# 8-neighbourhood in CLOCKWISE order (rows grow downward): W NW N NE E SE S SW
+_CW8 = ((0, -1), (-1, -1), (-1, 0), (-1, 1),
+        (0, 1), (1, 1), (1, 0), (1, -1))
+
+
+def _trace_boundary(mask, start):
+    """Moore-neighbour border following with Jacob's stopping criterion.
+
+    mask: bool [H, W]; start: (r, c) of the topmost-leftmost pixel of one
+    8-connected component.  Returns the external contour as a list of
+    (r, c) pixel coordinates, clockwise, start pixel first.  Host-side
+    from-scratch replacement for cv2.findContours(RETR_EXTERNAL)."""
+    h, w = mask.shape
+    r0, c0 = start
+    # The raster scan reached `start` coming from the west, so the initial
+    # backtrack direction is W (index 0 in _CW8).
+    contour = [(r0, c0)]
+    r, c = r0, c0
+    back = 0
+    first_leave = None
+    for _ in range(4 * h * w + 8):
+        found = -1
+        for k in range(1, 9):
+            d = (back + k) % 8
+            dr, dc = _CW8[d]
+            rr, cc = r + dr, c + dc
+            if 0 <= rr < h and 0 <= cc < w and mask[rr, cc]:
+                found = d
+                break
+        if found < 0:            # isolated single pixel
+            break
+        if first_leave is None:
+            first_leave = found
+        elif (r, c) == (r0, c0) and found == first_leave:
+            break                # Jacob: re-left the start the same way
+        dr, dc = _CW8[found]
+        r, c = r + dr, c + dc
+        if (r, c) != (r0, c0):
+            contour.append((r, c))  # keep the polygon open (start only once)
+        # new backtrack = direction pointing from the new pixel back to the
+        # previous one, i.e. the reverse of `found`
+        back = (found + 4) % 8
+    return contour
+
+
+def _component_starts(mask):
+    """Topmost-leftmost pixel of every 8-connected component (BFS label)."""
+    h, w = mask.shape
+    seen = np.zeros((h, w), bool)
+    starts = []
+    for r, c in zip(*np.nonzero(mask)):
+        if seen[r, c]:
+            continue
+        starts.append((int(r), int(c)))
+        stack = [(int(r), int(c))]
+        seen[r, c] = True
+        while stack:
+            rr, cc = stack.pop()
+            for dr, dc in _CW8:
+                r2, c2 = rr + dr, cc + dc
+                if 0 <= r2 < h and 0 <= c2 < w and mask[r2, c2] \
+                        and not seen[r2, c2]:
+                    seen[r2, c2] = True
+                    stack.append((r2, c2))
+    return starts
+
+
+def find_contours(mask):
+    """External contours of a binary mask, one per 8-connected component.
+
+    Returns a list of [n, 2] float32 arrays in (x, y) pixel coordinates —
+    the same convention as cv2.findContours(RETR_EXTERNAL) reshaped to
+    (-1, 2)."""
+    m = np.asarray(mask) > 0.5
     out = []
-    for m in np.asarray(masks):
-        ys, xs = np.where(m > 0.5)
-        if len(xs):
-            out.append(np.array([[xs.min(), ys.min()], [xs.max(), ys.max()]],
-                                np.float32))
-        else:
-            out.append(np.zeros((0, 2), np.float32))
+    for start in _component_starts(m):
+        rc = _trace_boundary(m, start)
+        out.append(np.array([(c, r) for r, c in rc], np.float32))
     return out
+
+
+def masks_to_segments(masks, strategy="largest"):
+    """Binary masks [n, h, w] -> polygon segments, real border-following
+    contours (reference utils/segment/general.py:147-160 masks2segments;
+    'largest' keeps the longest contour, 'concat' joins all)."""
+    segments = []
+    for m in np.asarray(masks):
+        cs = find_contours(m)
+        if cs:
+            if strategy == "concat":
+                seg = np.concatenate([c.reshape(-1, 2) for c in cs])
+            else:
+                seg = cs[int(np.argmax([len(c) for c in cs]))].reshape(-1, 2)
+        else:
+            seg = np.zeros((0, 2), np.float32)
+        segments.append(seg.astype(np.float32))
+    return segments
 
 
 # --------------------------------------------------------------------------- #
@@ -371,6 +456,8 @@ def main(argv=None):
     p.add_argument("--conf_thres", type=float, default=0.25)
     p.add_argument("--iou_thres", type=float, default=0.45)
     p.add_argument("--max_det", type=int, default=100)
+    p.add_argument("--save_txt", action="store_true",
+                   help="dump per-instance polygon .txt next to overlays")
     p.add_argument("--save_dir", default=None,
                    help="save mask overlays here")
     p.add_argument("--vid_stride", type=int, default=1)
@@ -426,6 +513,17 @@ def main(argv=None):
                     proto[0], jnp.asarray(np.asarray(coeffs[0])[:n]),
                     jnp.asarray(det[:, :4]),
                     (args.imgsz, args.imgsz)))
+                if args.save_txt:
+                    # per-instance polygon lines: cls x1 y1 x2 y2 ...
+                    # (normalized), reference segment/predict.py:166-175
+                    segs = masks_to_segments(masks > 0.5)
+                    safe = name.replace(":", "_")
+                    with open(os.path.join(args.save_dir,
+                                           safe + ".txt"), "w") as f:
+                        for d, seg in zip(det, segs):
+                            xy = (seg / args.imgsz).reshape(-1)
+                            line = " ".join(f"{v:.6g}" for v in xy)
+                            f.write(f"{int(d[5])} {line}\n")
                 overlay = lb.copy()
                 for mi in range(n):
                     color = np.array([(37 * (mi + 1)) % 256,

@@ -259,3 +259,72 @@ def test_segment_trainer_end_to_end(polygon_dataset, tmp_path):
 
     best = load_detector_checkpoint(str(tmp_path / "best.pkl"))
     assert {"model", "ema", "epoch", "updates"} <= set(best)
+
+
+# --------------------------------------------------------------------------- #
+# contour extraction (reference utils/segment/general.py:147 masks2segments)
+# --------------------------------------------------------------------------- #
+def _rasterize(poly, shape):
+    from adaptiveisp_tpu.data.segment_dataset import polygon2mask
+
+    return polygon2mask(shape, poly)
+
+
+def test_find_contours_matches_cv2_oracle():
+    cv2 = pytest.importorskip("cv2")
+    from adaptiveisp_tpu.detect.segment import find_contours
+
+    rng = np.random.RandomState(3)
+    for trial in range(20):
+        h = w = 48
+        m = np.zeros((h, w), np.uint8)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for _ in range(rng.randint(1, 5)):
+            cy, cx, rad = rng.randint(5, 43, 3)
+            m |= ((yy - cy) ** 2 + (xx - cx) ** 2
+                  <= (rad % 9 + 1) ** 2).astype(np.uint8)
+        if trial % 3 == 0:
+            m[rng.randint(0, h), rng.randint(0, w)] = 1  # isolated pixel
+        ours = sorted(sorted(map(tuple, c.astype(int)))
+                      for c in find_contours(m))
+        ref = sorted(sorted(map(tuple, c.reshape(-1, 2).astype(int)))
+                     for c in cv2.findContours(
+                         m, cv2.RETR_EXTERNAL,
+                         cv2.CHAIN_APPROX_NONE)[0])
+        assert ours == ref, f"trial {trial}"
+
+
+def test_masks_to_segments_roundtrip_iou():
+    """polygon -> mask -> traced polygon -> mask round-trips at IoU > 0.9
+    (VERDICT r2 weak #3)."""
+    from adaptiveisp_tpu.detect.segment import masks_to_segments
+
+    shape = (64, 64)
+    polys = [
+        np.array([[8, 8], [52, 12], [44, 50], [12, 40]], np.float32),
+        np.array([[30, 5], [55, 30], [30, 58], [6, 30]], np.float32),
+        np.array([[10, 30], [50, 10], [50, 50]], np.float32),
+    ]
+    masks = np.stack([_rasterize(p, shape) for p in polys])
+    segs = masks_to_segments(masks)
+    for m, seg in zip(masks, segs):
+        assert seg.shape[0] >= 8           # a real contour, not 2 extents
+        m2 = _rasterize(seg, shape)
+        inter = float((m * m2).sum())
+        union = float(np.clip(m + m2, 0, 1).sum())
+        assert inter / union > 0.9
+
+
+def test_masks_to_segments_strategies_and_empty():
+    from adaptiveisp_tpu.detect.segment import masks_to_segments
+
+    m = np.zeros((32, 32), np.float32)
+    m[4:10, 4:10] = 1            # 6x6 component
+    m[20:23, 20:23] = 1          # smaller 3x3 component
+    largest = masks_to_segments(m[None], strategy="largest")[0]
+    concat = masks_to_segments(m[None], strategy="concat")[0]
+    assert largest.max() < 16    # only the big component survives
+    assert concat.max() >= 20    # both present
+    assert len(concat) > len(largest)
+    empty = masks_to_segments(np.zeros((1, 16, 16)))[0]
+    assert empty.shape == (0, 2)
