@@ -137,6 +137,54 @@ def mixup(im: np.ndarray, labels: np.ndarray, im2: np.ndarray,
     return im, np.concatenate([labels, labels2], 0)
 
 
+def bbox_ioa(box: np.ndarray, boxes: np.ndarray,
+             eps: float = 1e-7) -> np.ndarray:
+    """Intersection of `box` with each of `boxes`, over the AREA OF
+    `boxes` (reference utils/metrics.py bbox_ioa).  xyxy pixel coords."""
+    b1x1, b1y1, b1x2, b1y2 = box
+    b2x1, b2y1, b2x2, b2y2 = boxes.T
+    iw = np.clip(np.minimum(b1x2, b2x2) - np.maximum(b1x1, b2x1), 0, None)
+    ih = np.clip(np.minimum(b1y2, b2y2) - np.maximum(b1y1, b2y1), 0, None)
+    area2 = (b2x2 - b2x1) * (b2y2 - b2y1) + eps
+    return iw * ih / area2
+
+
+def copy_paste(im: np.ndarray, labels: np.ndarray,
+               segments: List[np.ndarray], p: float,
+               rng: np.random.RandomState):
+    """Copy-Paste augmentation (arXiv:2012.07177; reference
+    augmentations.py:240-258): mirror round(p*n) random instances
+    left-right and paste their pixels at the mirrored location, when the
+    mirrored box obscures <30% of every existing label.
+
+    im: float [h, w, 3]; labels: [n, 5] (cls, xyxy pixels); segments:
+    list of [k, 2] pixel polygons.  Returns the augmented triple."""
+    n = len(segments)
+    if not (p and n):
+        return im, labels, segments
+    from adaptiveisp_tpu.data.segment_dataset import polygon2mask
+
+    h, w = im.shape[:2]
+    pasted = np.zeros((h, w), np.float32)
+    any_pasted = False
+    for j in rng.choice(n, size=round(p * n), replace=False):
+        lb, seg = labels[j], segments[j]
+        box = np.array([w - lb[3], lb[2], w - lb[1], lb[4]], np.float32)
+        ioa = bbox_ioa(box, labels[:, 1:5])
+        if (ioa < 0.30).all():  # allow 30% obscuration of existing labels
+            labels = np.concatenate(
+                (labels, [[lb[0], *box]]), 0).astype(np.float32)
+            segments.append(np.concatenate(
+                (w - seg[:, 0:1], seg[:, 1:2]), 1))
+            pasted = np.maximum(pasted, polygon2mask((h, w), seg))
+            any_pasted = True
+    if any_pasted:
+        m = pasted[:, ::-1] > 0.5  # instance regions, mirrored
+        im = im.copy()
+        im[m] = im[:, ::-1][m]
+    return im, labels, segments
+
+
 def flip_lr(im: np.ndarray, labels_xywhn: np.ndarray):
     im = np.ascontiguousarray(im[:, ::-1])
     if labels_xywhn.size:

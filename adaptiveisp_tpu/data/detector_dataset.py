@@ -49,6 +49,10 @@ class AugHyp:
     mosaic: float = 1.0
     mosaic9: float = 0.0   # probability a mosaic is the 9-image variant
     mixup: float = 0.0
+    copy_paste: float = 0.0  # segment copy-paste (needs polygon labels;
+    #                          consumed by SegmentDataset, not the box-only
+    #                          DetectorDataset — reference wires it in
+    #                          utils/segment/dataloaders.py:254)
 
 
 class DetectorDataset:

@@ -54,7 +54,8 @@ def polygon2mask(shape: Tuple[int, int], polygon: np.ndarray) -> np.ndarray:
 class SegmentDataset:
     def __init__(self, path_or_files, img_size: int = 320,
                  batch_size: int = 8, augment: bool = False,
-                 mask_ratio: int = 4, fliplr: float = 0.5, seed: int = 0):
+                 mask_ratio: int = 4, fliplr: float = 0.5,
+                 copy_paste: float = 0.0, seed: int = 0):
         if isinstance(path_or_files, (list, tuple)):
             self.im_files = list(path_or_files)
         else:
@@ -67,6 +68,7 @@ class SegmentDataset:
         self.augment = augment
         self.mask_ratio = mask_ratio
         self.fliplr = fliplr
+        self.copy_paste = copy_paste
         self.rng = np.random.RandomState(seed)
         self.instances = [parse_polygon_labels(f) for f in self.label_files]
 
@@ -89,7 +91,7 @@ class SegmentDataset:
         h, w = img.shape[:2]
         ms = self.img_size // self.mask_ratio
 
-        targets, masks = [], []
+        segments, labels = [], []
         for cls, poly in self.instances[i]:
             # normalized polygon -> letterboxed input pixels
             # (letterbox returns ratio as (rw, rh), letterbox.py:54)
@@ -97,13 +99,24 @@ class SegmentDataset:
             py = poly[:, 1] * (h0 * r) * ratio[1] + pad[1]
             x1, x2 = float(px.min()), float(px.max())
             y1, y2 = float(py.min()), float(py.max())
-            bw, bh = x2 - x1, y2 - y1
-            if bw < 2 or bh < 2:
+            if x2 - x1 < 2 or y2 - y1 < 2:
                 continue
+            segments.append(np.stack([px, py], 1))
+            labels.append([cls, x1, y1, x2, y2])
+        labels = np.asarray(labels, np.float32).reshape(-1, 5)
+
+        if self.augment and self.copy_paste and len(segments):
+            from adaptiveisp_tpu.data.augment import copy_paste
+
+            img, labels, segments = copy_paste(
+                img, labels, segments, self.copy_paste, self.rng)
+
+        targets, masks = [], []
+        for lb, seg in zip(labels, segments):
+            cls, x1, y1, x2, y2 = lb
             targets.append([cls, (x1 + x2) / 2 / w, (y1 + y2) / 2 / h,
-                            bw / w, bh / h])
-            masks.append(polygon2mask(
-                (ms, ms), np.stack([px, py], 1) / self.mask_ratio))
+                            (x2 - x1) / w, (y2 - y1) / h])
+            masks.append(polygon2mask((ms, ms), seg / self.mask_ratio))
         targets = np.asarray(targets, np.float32).reshape(-1, 5)
         masks = (np.stack(masks, 0) if masks
                  else np.zeros((0, ms, ms), np.float32))

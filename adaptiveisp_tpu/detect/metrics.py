@@ -66,7 +66,8 @@ def _class_curves(tp_c, conf_c, n_labels, eps):
 
     tp_c [n, n_iou] is confidence-sorted (descending).  Returns the recall
     and precision curves sampled on _CONF_GRID (using the lowest-IoU column,
-    i.e. IoU 0.5, as the protocol does) and AP at every IoU threshold.
+    i.e. IoU 0.5, as the protocol does), AP at every IoU threshold, and the
+    IoU-0.5 precision envelope sampled on the recall grid (PR-curve plot).
     """
     cum_tp = tp_c.cumsum(0)
     cum_fp = (1 - tp_c).cumsum(0)
@@ -74,19 +75,26 @@ def _class_curves(tp_c, conf_c, n_labels, eps):
     precision = cum_tp / (cum_tp + cum_fp)
     r_grid = np.interp(-_CONF_GRID, -conf_c, recall[:, 0], left=0)
     p_grid = np.interp(-_CONF_GRID, -conf_c, precision[:, 0], left=1)
-    ap = np.array([compute_ap(recall[:, j], precision[:, j])[0]
-                   for j in range(tp_c.shape[1])])
-    return r_grid, p_grid, ap
+    ap = np.zeros(tp_c.shape[1])
+    pr = np.zeros_like(_CONF_GRID)
+    for j in range(tp_c.shape[1]):
+        ap[j], envelope, r_curve = compute_ap(recall[:, j], precision[:, j])
+        if j == 0:
+            pr = np.interp(_CONF_GRID, r_curve, envelope)
+    return r_grid, p_grid, ap, pr
 
 
-def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
+def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16,
+                 plot: bool = False, save_dir: str = ".", names=()):
     """Per-class AP from accumulated predictions (protocol: reference
     metrics.py:31-95).
 
     tp: [n_pred, n_iou] bool; conf, pred_cls: [n_pred]; target_cls: [n_gt].
     Returns (tp, fp, p, r, f1, ap[nc, n_iou], unique_classes).  The final
     scalar P/R/F1 are read off the confidence grid at the point maximizing
-    the smoothed class-mean F1 curve.
+    the smoothed class-mean F1 curve.  With plot=True, dumps the PR curve
+    and the F1/P/R-vs-confidence curves into save_dir (reference
+    metrics.py:85-89).
     """
     order = np.argsort(-conf)
     tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
@@ -98,13 +106,33 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
     ap = np.zeros((nc, tp.shape[1]))
     p = np.zeros((nc, n_grid))
     r = np.zeros((nc, n_grid))
+    pr_curves = []  # per-class precision sampled on the 1000-pt recall grid
     for ci, c in enumerate(unique_classes):
         mine = pred_cls == c
         if n_labels[ci] and mine.any():
-            r[ci], p[ci], ap[ci] = _class_curves(
+            r[ci], p[ci], ap[ci], pr = _class_curves(
                 tp[mine], conf[mine], n_labels[ci], eps)
+            pr_curves.append(pr)
+        else:
+            pr_curves.append(np.zeros_like(_CONF_GRID))
 
     f1 = 2 * p * r / (p + r + eps)
+    if plot:
+        import os
+
+        from adaptiveisp_tpu.obs.plots import plot_mc_curve
+
+        labels = [names.get(int(c), str(int(c))) if isinstance(names, dict)
+                  else (names[int(c)] if len(names) > int(c) else str(int(c)))
+                  for c in unique_classes]
+        plot_pr_curve(_CONF_GRID, pr_curves, ap,
+                      os.path.join(save_dir, "PR_curve.png"), labels)
+        plot_mc_curve(_CONF_GRID, f1, os.path.join(save_dir, "F1_curve.png"),
+                      labels, ylabel="F1")
+        plot_mc_curve(_CONF_GRID, p, os.path.join(save_dir, "P_curve.png"),
+                      labels, ylabel="Precision")
+        plot_mc_curve(_CONF_GRID, r, os.path.join(save_dir, "R_curve.png"),
+                      labels, ylabel="Recall")
     best = smooth(f1.mean(0), 0.1).argmax()
     p, r, f1 = p[:, best], r[:, best], f1[:, best]
     tp_count = (r * n_labels).round()
@@ -197,6 +225,46 @@ class ConfusionMatrix:
         fp = self.matrix.sum(1) - tp
         return tp[:-1], fp[:-1]
 
+    def plot(self, normalize: bool = True, save_dir: str = ".", names=()):
+        """Heatmap of the matrix, columns normalized by true-class count
+        (reference metrics.py:187-215; matplotlib imshow, no seaborn)."""
+        import os
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        array = self.matrix / (
+            (self.matrix.sum(0).reshape(1, -1) + 1e-9) if normalize else 1)
+        fig, ax = plt.subplots(1, 1, figsize=(12, 9), tight_layout=True)
+        im = ax.imshow(array, cmap="Blues", vmin=0.0)
+        fig.colorbar(im, ax=ax)
+        n = self.nc + 1
+        use_names = 0 < len(names) < 99 and len(names) == self.nc
+        ticklabels = (list(names) + ["background"]) if use_names \
+            else [str(i) for i in range(n)]
+        ax.set_xticks(range(n))
+        ax.set_yticks(range(n))
+        ax.set_xticklabels(ticklabels, rotation=90, fontsize=8)
+        ax.set_yticklabels(ticklabels, fontsize=8)
+        if self.nc < 30:  # annotate cells
+            for i in range(n):
+                for j in range(n):
+                    v = array[i, j]
+                    if v >= 0.005:
+                        ax.text(j, i, f"{v:.2f}", ha="center", va="center",
+                                fontsize=8,
+                                color="white" if v > 0.5 * np.nanmax(array)
+                                else "black")
+        ax.set_xlabel("True")
+        ax.set_ylabel("Predicted")
+        ax.set_title("Confusion Matrix")
+        out = os.path.join(save_dir, "confusion_matrix.png")
+        fig.savefig(out, dpi=250)
+        plt.close(fig)
+        return out
+
 
 def plot_pr_curve(px, py, ap, save_path: str, names=()):
     """PR-curve plot at mAP@0.5 (reference metrics.py:85-89 / plot_pr_curve)."""
@@ -224,15 +292,18 @@ def plot_pr_curve(px, py, ap, save_path: str, names=()):
     return save_path
 
 
-def summarize(stats, names=None) -> Dict[str, float]:
+def summarize(stats, names=None, plot_dir=None) -> Dict[str, float]:
     """mp/mr/map50/map from accumulated (correct, conf, pcls, tcls) tuples.
 
     With ``names`` (id -> name), also returns ``per_class``: one row per
     class with (name, n_labels, P, R, AP50, AP) — the reference's verbose
-    per-class table (val_adaptiveisp.py:406-408)."""
+    per-class table (val_adaptiveisp.py:406-408).  With ``plot_dir``, the
+    PR/F1/P/R curve plots are written there."""
     stats = [np.concatenate(x, 0) for x in zip(*stats)]
     if len(stats) and stats[0].any():
-        _, _, p, r, f1, ap, classes = ap_per_class(*stats)
+        _, _, p, r, f1, ap, classes = ap_per_class(
+            *stats, plot=plot_dir is not None,
+            save_dir=plot_dir or ".", names=names or ())
         ap50, ap_mean = ap[:, 0], ap.mean(1)
         out = {
             "precision": float(p.mean()),

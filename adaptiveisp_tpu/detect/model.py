@@ -182,9 +182,37 @@ class DetectionModel(nn.Module):
 
 
 def model_strides(spec=None, imgsz: int = 256) -> Tuple[int, ...]:
-    """Detection strides; (8, 16, 32) for v3, (16, 32) for tiny."""
+    """Detection strides, statically traced through the layer spec.
+
+    The reference computes strides with a dummy forward (yolo.py:187-193);
+    here the downsample factor of every layer is known from the spec alone
+    (Conv/Focus/MaxPool multiply, Upsample halves), so any head layout —
+    1-level toy specs included — gets correct strides without a trace."""
     spec = spec or YOLOV3_SPEC
-    return (8, 16, 32) if len(spec["anchors"]) == 3 else (16, 32)
+    per_layer: List[Any] = []
+    cur: Any = 1
+    for frm, num, mod, args in flatten_layers(spec):
+        if isinstance(frm, int):
+            s_in = cur if frm == -1 else per_layer[frm]
+        else:
+            s_in = [cur if j == -1 else per_layer[j] for j in frm]
+        if mod == "Conv":
+            s = s_in * args[2]
+        elif mod == "Focus":
+            s = s_in * 2 * (args[2] if len(args) > 2 else 1)
+        elif mod == "Upsample":
+            s = s_in // 2
+        elif mod == "MaxPool":
+            s = s_in * args[1]
+        elif mod == "Concat":
+            s = s_in[0]
+        elif mod in ("Detect", "Segment"):
+            return tuple(int(v) for v in s_in)
+        else:  # Bottleneck/C3/CSP/SPP(F)/ZeroPad/Identity: stride-neutral
+            s = s_in
+        per_layer.append(s)
+        cur = s
+    raise ValueError("spec has no Detect/Segment head")
 
 
 def anchors_in_grid_units(spec=None) -> List[np.ndarray]:

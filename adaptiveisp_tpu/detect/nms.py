@@ -49,12 +49,12 @@ def _exact_top_k(scores, k: int):
 @functools.partial(
     jax.jit,
     static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms",
-                     "multi_label", "agnostic", "block", "nm"))
+                     "multi_label", "agnostic", "block", "nm", "merge"))
 def non_max_suppression(prediction, conf_thres: float = 0.25,
                         iou_thres: float = 0.45, max_det: int = 300,
                         max_nms: int = 4096, multi_label: bool = False,
                         agnostic: bool = False, block: int = 512,
-                        nm: int = 0):
+                        nm: int = 0, merge: bool = False):
     """prediction: [N, n_boxes, 5+nc(+nm)] decoded (xywh, obj, cls-probs,
     and with nm > 0 the raw mask coefficients of a segmentation head).
 
@@ -159,8 +159,36 @@ def non_max_suppression(prediction, conf_thres: float = 0.25,
                                  constant_values=-1.0)
             sel = jnp.pad(sel, (0, max_det - kd))
         det_valid = sel_scores > conf_thres
+        out_boxes = top_boxes[sel]
+
+        if merge:
+            # merge-NMS (reference general.py:951-956): each kept box is
+            # replaced by the score-weighted mean of every candidate box
+            # overlapping it (> iou_thres, class-offset space), and —
+            # `redundant` — kept boxes overlapping nothing but themselves
+            # are dropped.  Reference gates this on 1 < n_cand < 3000;
+            # the upper bound is a CPU O(n*det) cost guard, kept here for
+            # exact parity even though the fixed-shape matmul is free.
+            n_cand = top_valid.sum()
+            iou_m = box_iou(off_boxes[sel], off_boxes)  # [max_det, k]
+            overlap = (iou_m > iou_thres) & top_valid[None, :]
+            w = overlap * top_scores[None, :]
+            merged = (w @ top_boxes) / jnp.maximum(
+                w.sum(1, keepdims=True), 1e-12)
+            apply = (n_cand > 1) & (n_cand < 3000)
+            out_boxes = jnp.where(apply, merged, out_boxes)
+            det_valid = det_valid & jnp.where(
+                apply, overlap.sum(1) > 1, True)
+            # re-compact: drop the non-redundant rows, keep score order
+            sel_scores = jnp.where(det_valid, sel_scores, -1.0)
+            re_scores, re_idx = jax.lax.top_k(sel_scores, max_det)
+            out_boxes = out_boxes[re_idx]
+            sel = sel[re_idx]
+            sel_scores = re_scores
+            det_valid = sel_scores > conf_thres
+
         out = jnp.concatenate([
-            top_boxes[sel],
+            out_boxes,
             jnp.where(det_valid, sel_scores, 0.0)[:, None],
             top_cls[sel][:, None],
         ], axis=1)

@@ -113,9 +113,15 @@ def make_warmup_optimizer(cfg: DetTrainConfig, steps_per_epoch: int):
 def validate_detector(model, variables, dataset: DetectorDataset, spec,
                       conf_thres: float = 0.001, iou_thres: float = 0.6,
                       max_det: int = 300, max_nms: int = 4096,
-                      max_batches: Optional[int] = None) -> Dict[str, float]:
+                      max_batches: Optional[int] = None,
+                      merge: bool = False, plots: bool = False,
+                      save_dir: Optional[str] = None,
+                      names=None) -> Dict[str, float]:
     """EMA-weights val pass: forward -> decode -> NMS -> matching -> mAP
-    (reference train.py:394-405 -> val.run)."""
+    (reference train.py:394-405 -> val.run).  With plots=True (and a
+    save_dir), also populates a ConfusionMatrix and writes the
+    confusion-matrix + PR/F1/P/R curve plots (reference
+    val_adaptiveisp.py:213, 354)."""
     import functools
 
     @functools.partial(jax.jit, static_argnames=())
@@ -124,8 +130,13 @@ def validate_detector(model, variables, dataset: DetectorDataset, spec,
         dec = decode_predictions(preds, spec)
         return non_max_suppression(
             dec, conf_thres=conf_thres, iou_thres=iou_thres,
-            max_det=max_det, max_nms=max_nms, multi_label=True)
+            max_det=max_det, max_nms=max_nms, multi_label=True, merge=merge)
 
+    confusion = None
+    if plots:
+        from adaptiveisp_tpu.detect.metrics import ConfusionMatrix
+
+        confusion = ConfusionMatrix(nc=spec["nc"])
     stats = []
     for bi, (images, targets, tmask) in enumerate(
             dataset.epoch_batches(shuffle=False)):
@@ -147,7 +158,19 @@ def validate_detector(model, variables, dataset: DetectorDataset, spec,
                 gt[:, 4] = (lb[:, 2] + lb[:, 4] / 2) * h
             correct = process_batch(d, gt, IOUV)
             stats.append((correct, d[:, 4], d[:, 5], gt[:, 0]))
-    return summarize(stats)
+            if confusion is not None:
+                confusion.process_batch(d, gt)
+    plot_dir = save_dir if (plots and save_dir) else None
+    if plot_dir:
+        os.makedirs(plot_dir, exist_ok=True)
+    names_dict = (names if isinstance(names, dict) or names is None
+                  else {i: n for i, n in enumerate(names)})
+    out = summarize(stats, names=names_dict, plot_dir=plot_dir)
+    if confusion is not None:
+        out["confusion_matrix"] = confusion.matrix
+        if plot_dir:
+            confusion.plot(save_dir=plot_dir, names=list(names or ()))
+    return out
 
 
 # --------------------------------------------------------------------------- #
@@ -179,7 +202,7 @@ class DetectorTrainer:
                  save_dir: Optional[str] = None,
                  multi_scale: bool = False,
                  val_batches: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, plots: bool = False, names=None):
         self.model = model
         self.spec = spec
         self.train_ds = train_ds
@@ -191,6 +214,8 @@ class DetectorTrainer:
         self.save_dir = save_dir
         self.val_batches = val_batches
         self.mesh = mesh
+        self.plots = plots and save_dir is not None
+        self.names = names
 
         self.tx, self._lr_fn = make_warmup_optimizer(
             self.cfg, self.steps_per_epoch)
@@ -250,9 +275,33 @@ class DetectorTrainer:
             x, (x.shape[0], size, size, x.shape[3]), method="bilinear")
         return np.asarray(x)
 
+    def _plot_train_batch(self, bi: int, images, targets, tmask):
+        """train_batch{0,1,2}.jpg mosaics with drawn boxes
+        (reference train.py on_train_batch_end -> plots.py:115)."""
+        from adaptiveisp_tpu.obs.plots import plot_images
+
+        rows = []
+        for i in range(images.shape[0]):
+            for t in np.asarray(targets[i])[np.asarray(tmask[i])]:
+                rows.append([i, t[0], t[1], t[2], t[3], t[4]])
+        plot_images(images, np.asarray(rows, np.float32), fname=os.path.join(
+            self.save_dir, f"train_batch{bi}.jpg"), names=self.names)
+
+    def _plot_labels(self):
+        """labels.jpg distribution panel (reference plots.py:272)."""
+        from adaptiveisp_tpu.obs.plots import plot_labels
+
+        labels = [lb for lb in self.train_ds.labels if len(lb)]
+        if labels:
+            plot_labels(np.concatenate(labels, 0), names=self.names or (),
+                        save_dir=self.save_dir)
+
     def train_epoch(self, epoch: int) -> float:
         losses = []
-        for images, *rest in self.train_ds.epoch_batches():
+        for bi, (images, *rest) in enumerate(self.train_ds.epoch_batches()):
+            if self.plots and epoch == 0 and bi < 3 \
+                    and self._batch_arity == 3:
+                self._plot_train_batch(bi, images, rest[0], rest[1])
             images = self._maybe_rescale(images)
             batch = tuple(jnp.asarray(a) for a in (images, *rest))
             if self.mesh is not None:
@@ -287,6 +336,8 @@ class DetectorTrainer:
         """The epoch loop: train -> val -> ckpt best/last -> early stop
         (reference train.py:276-446)."""
         epochs = epochs or self.cfg.epochs
+        if self.plots:
+            self._plot_labels()
         for epoch in range(epochs):
             t0 = time.time()
             loss = self.train_epoch(epoch)
@@ -304,6 +355,16 @@ class DetectorTrainer:
             self._append_csv(log)
             if self.stopper(epoch, fit):
                 break
+        if self.plots and self.history:
+            from adaptiveisp_tpu.obs.plots import plot_results
+
+            plot_results(os.path.join(self.save_dir, "results.csv"))
+            if self.val_ds is not None:
+                # final-epoch curve/confusion plots from the EMA weights
+                validate_detector(
+                    self.model, self._ema_variables(), self.val_ds,
+                    self.spec, max_batches=self.val_batches, plots=True,
+                    save_dir=self.save_dir, names=self.names)
         return self.history
 
     def _append_csv(self, log: EpochLog):
@@ -349,7 +410,13 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--epochs", type=int, default=100)
-    p.add_argument("--lr0", type=float, default=0.01)
+    p.add_argument("--lr0", type=float, default=None,
+                   help="override the hyp lr0")
+    p.add_argument("--hyp", default=None,
+                   help="hyperparameter YAML (reference data/hyps/*.yaml "
+                        "surface; defaults = hyp.scratch-low)")
+    p.add_argument("--evolve", type=int, nargs="?", const=10, default=None,
+                   help="evolve hyperparameters for N generations")
     p.add_argument("--patience", type=int, default=100)
     p.add_argument("--multi-scale", action="store_true")
     p.add_argument("--single-cls", action="store_true")
@@ -357,6 +424,9 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--nc", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-dir", default="runs/train-det")
+    p.add_argument("--plots", action="store_true",
+                   help="train-batch mosaics, label plots, results curves, "
+                        "confusion matrix")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel over the first N devices")
     args = p.parse_args(argv)
@@ -370,28 +440,57 @@ def main(argv: Optional[Sequence[str]] = None):
     if args.nc is not None and args.nc != spec["nc"]:
         spec = dict(spec, nc=args.nc)
 
-    train_ds = DetectorDataset(args.data, img_size=args.imgsz,
-                               batch_size=args.batch_size, augment=True,
-                               cache=args.cache, nc=spec["nc"],
-                               single_cls=args.single_cls, seed=args.seed)
+    from adaptiveisp_tpu.detect.hyp import (
+        evolve_detector, load_hyp, split_hyp)
+
+    hyp_dict = load_hyp(args.hyp)
+    if args.lr0 is not None:
+        hyp_dict["lr0"] = args.lr0
+    nl = len(spec["anchors"])
+
     val_ds = None
     if args.val_data:
         val_ds = DetectorDataset(args.val_data, img_size=args.imgsz,
                                  batch_size=args.batch_size, augment=False,
                                  nc=spec["nc"], single_cls=args.single_cls)
 
-    model, variables = create_detector(
-        jax.random.PRNGKey(args.seed), spec=spec, imgsz=args.imgsz)
-    cfg = DetTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
-                         lr0=args.lr0, patience=args.patience)
     mesh = None
     if args.dp:
         from adaptiveisp_tpu.train.mesh import make_mesh
 
         mesh = make_mesh(args.dp)
-    trainer = DetectorTrainer(model, variables, spec, train_ds, val_ds,
-                              cfg=cfg, save_dir=args.save_dir,
-                              multi_scale=args.multi_scale, mesh=mesh)
+
+    def build_trainer(hyp_d, save_dir):
+        cfg, loss_hyp, aug_hyp = split_hyp(
+            hyp_d, nl=nl, nc=spec["nc"], imgsz=args.imgsz,
+            epochs=args.epochs, batch_size=args.batch_size,
+            patience=args.patience)
+        train_ds = DetectorDataset(
+            args.data, img_size=args.imgsz, batch_size=args.batch_size,
+            augment=True, cache=args.cache, nc=spec["nc"],
+            single_cls=args.single_cls, seed=args.seed, hyp=aug_hyp)
+        model, variables = create_detector(
+            jax.random.PRNGKey(args.seed), spec=spec, imgsz=args.imgsz)
+        return DetectorTrainer(model, variables, spec, train_ds, val_ds,
+                               cfg=cfg, hyp=loss_hyp, save_dir=save_dir,
+                               multi_scale=args.multi_scale, mesh=mesh,
+                               plots=args.plots)
+
+    if args.evolve:
+        def build_and_fit(hyp_d):
+            tr = build_trainer(hyp_d, save_dir=None)
+            tr.fit()
+            return tr.best_fitness
+
+        res = evolve_detector(build_and_fit, generations=args.evolve,
+                              save_dir=args.save_dir, base_hyp=hyp_dict,
+                              seed=args.seed)
+        print(f"evolve: best fitness {res['best_fitness']:.4f} over "
+              f"{args.evolve} generations -> "
+              f"{args.save_dir}/hyp_evolve.yaml")
+        return res
+
+    trainer = build_trainer(hyp_dict, args.save_dir)
     history = trainer.fit()
     for log in history:
         print(f"epoch {log.epoch}: loss {log.loss:.4f} lr {log.lr:.5f} "

@@ -44,7 +44,8 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                    save_json: bool = False, anno_json: Optional[str] = None,
                    noise_seed: int = 0, max_images: int = -1,
                    render: str = "auto", yolo_spec=None, mesh=None,
-                   class_names=None, profile: bool = False) -> Dict:
+                   class_names=None, profile: bool = False,
+                   merge: bool = False, plots: bool = False) -> Dict:
     """Returns {'precision', 'recall', 'map50', 'map', 'speed', 'records'}.
 
     render="auto" picks the switch path (renders only the selected filter —
@@ -81,7 +82,7 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
         preds = fwd(yvars, res.image)
         dets, nvalid = non_max_suppression(
             preds, conf_thres=conf_thres, iou_thres=iou_thres,
-            max_det=max_det, multi_label=True)
+            max_det=max_det, multi_label=True, merge=merge)
         return res, dets, nvalid
 
     eval_fused = jax.jit(_eval)
@@ -105,6 +106,13 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
     stats = []
     records = []
     coco_records = []
+    confusion = None
+    if plots:
+        from adaptiveisp_tpu.detect.metrics import ConfusionMatrix
+
+        nc = (yolo_spec["nc"] if yolo_spec is not None
+              else (len(class_names) if class_names else 80))
+        confusion = ConfusionMatrix(nc=nc)
     n_total = len(dataset) if max_images < 0 else min(max_images, len(dataset))
 
     # warm the jits so the speed report measures steady state, not compiles
@@ -120,7 +128,7 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
             wpred = fwd(yolo_variables, wres.image)
             jax.device_get(non_max_suppression(
                 wpred, conf_thres=conf_thres, iou_thres=iou_thres,
-                max_det=max_det, multi_label=True)[1])
+                max_det=max_det, multi_label=True, merge=merge)[1])
         else:
             jax.device_get(eval_fused(
                 agent_variables, yolo_variables, wim, wno, wst, pipe_arr)[2])
@@ -158,7 +166,7 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
             with profiles["nms"]:
                 dets, nvalid = non_max_suppression(
                     preds, conf_thres=conf_thres, iou_thres=iou_thres,
-                    max_det=max_det, multi_label=True)
+                    max_det=max_det, multi_label=True, merge=merge)
         else:
             with profiles["inference"]:
                 res, dets, nvalid = eval_fused(
@@ -243,6 +251,8 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                 lab_px = np.zeros((0, 5), np.float32)
             correct = process_batch(det, lab_px, iouv)
             stats.append((correct, det[:, 4], det[:, 5], lab_px[:, 0]))
+            if confusion is not None:
+                confusion.process_batch(det, lab_px)
             if save_json:
                 from adaptiveisp_tpu.eval.coco_json import (
                     COCO80_TO_91, detections_to_coco)
@@ -286,7 +296,15 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
         consume(pending)
     wall_s = time.perf_counter() - t_wall0
 
-    result = summarize(stats, names=class_names)
+    plot_dir = save_dir if (plots and save_dir) else None
+    result = summarize(stats, names=class_names, plot_dir=plot_dir)
+    if confusion is not None:
+        result["confusion_matrix"] = confusion.matrix
+        if plot_dir:
+            cm_names = (list(class_names.values())
+                        if isinstance(class_names, dict)
+                        else list(class_names or ()))
+            confusion.plot(save_dir=plot_dir, names=cm_names)
     result["speed"] = speed_report(profiles, n_total)
     result["wall_ms_per_img"] = 1000.0 * wall_s / max(n_total, 1)
     result["records"] = records

@@ -395,3 +395,64 @@ def test_summarize_per_class():
     assert len(res["per_class"]) == 2
     row = {r["class"]: r for r in res["per_class"]}
     assert row["car"]["map50"] > 0.99 and row["bus"]["labels"] == 1
+
+
+def test_merge_nms_matches_numpy_oracle():
+    """merge=True: weighted-mean box fusion + redundancy drop
+    (reference general.py:951-956 semantics, fixed-shape)."""
+    n, nc = 96, 3
+    rng = np.random.RandomState(21)
+    pred = np.zeros((1, n, 5 + nc), np.float32)
+    centers = rng.rand(8, 2) * 80 + 40
+    idx = rng.randint(0, 8, n)
+    pred[0, :, :2] = centers[idx] + rng.randn(n, 2) * 4
+    pred[0, :, 2:4] = 25 + rng.rand(n, 2) * 8
+    pred[0, :, 4] = rng.rand(n)
+    cls_probs = rng.rand(n, nc).astype(np.float32)
+    pred[0, :, 5:] = cls_probs
+    # one isolated box: should be dropped by the redundancy rule
+    pred[0, 0, :4] = [400.0, 400.0, 20.0, 20.0]
+    pred[0, 0, 4] = 0.95
+
+    conf_thres, iou_thres, max_det = 0.1, 0.5, 32
+
+    # ---- numpy oracle ----
+    obj = pred[0, :, 4]
+    conf = cls_probs * obj[:, None]
+    best = conf.argmax(1)
+    scores = conf[np.arange(n), best]
+    m = scores > conf_thres
+    boxes = np.asarray(xywh2xyxy(jnp.asarray(pred[0, :, :4])))
+    off = (boxes + best[:, None] * 7680.0)[m]
+    sc, bx = scores[m], boxes[m]
+    order = np.argsort(-sc)
+    off, sc, bx = off[order], sc[order], bx[order]
+    keep = np_greedy_nms(off, sc, iou_thres)[:max_det]
+    iou = box_iou_np(off[keep], off) > iou_thres
+    w = iou * sc[None, :]
+    merged = (w @ bx) / w.sum(1, keepdims=True)
+    redundant = iou.sum(1) > 1
+    want_boxes = merged[redundant]
+    want_scores = sc[keep][redundant]
+
+    out, nvalid = non_max_suppression(
+        jnp.asarray(pred), conf_thres=conf_thres, iou_thres=iou_thres,
+        max_det=max_det, max_nms=n, multi_label=False, merge=True)
+    nv = int(nvalid[0])
+    got = np.asarray(out[0][:nv])
+
+    assert not redundant.all()          # the isolated box was dropped
+    assert nv == len(want_scores)
+    np.testing.assert_allclose(got[:, 4], want_scores, rtol=1e-5)
+    np.testing.assert_allclose(got[:, :4], want_boxes, rtol=1e-4, atol=1e-3)
+
+
+def test_merge_nms_small_n_passthrough():
+    """n_cand <= 1: reference skips merging entirely (1 < n guard)."""
+    pred = np.zeros((1, 8, 5 + 2), np.float32)
+    pred[0, 0] = [50, 50, 20, 20, 0.9, 0.9, 0.1]
+    out, nvalid = non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45, max_det=4,
+        max_nms=8, merge=True)
+    assert int(nvalid[0]) == 1          # singleton survives: merge not applied
+    assert np.asarray(out[0][0, 4]) > 0.5

@@ -328,3 +328,65 @@ def test_masks_to_segments_strategies_and_empty():
     assert len(concat) > len(largest)
     empty = masks_to_segments(np.zeros((1, 16, 16)))[0]
     assert empty.shape == (0, 2)
+
+
+# --------------------------------------------------------------------------- #
+# copy_paste (reference augmentations.py:240-258)
+# --------------------------------------------------------------------------- #
+def test_copy_paste_mirrors_instance():
+    from adaptiveisp_tpu.data.augment import bbox_ioa, copy_paste
+
+    rng = np.random.RandomState(0)
+    im = np.zeros((64, 64, 3), np.float32)
+    im[10:30, 5:25] = (0.9, 0.2, 0.1)  # instance block on the left
+    seg = np.array([[5, 10], [25, 10], [25, 30], [5, 30]], np.float32)
+    labels = np.array([[1, 5, 10, 25, 30]], np.float32)
+    im2, labels2, segs2 = copy_paste(im, labels, [seg], p=1.0, rng=rng)
+    assert len(labels2) == 2 and len(segs2) == 2
+    # mirrored box: x -> w - x
+    np.testing.assert_allclose(labels2[1], [1, 64 - 25, 10, 64 - 5, 30])
+    # pasted pixels at the mirrored location match the instance color
+    assert im2[20, 64 - 15, 0] > 0.8
+    # original instance untouched
+    np.testing.assert_allclose(im2[10:30, 5:25], im[10:30, 5:25])
+    # ioa sanity
+    assert bbox_ioa(np.array([0, 0, 10, 10.0]),
+                    np.array([[5, 5, 15, 15.0]]))[0] == pytest.approx(0.25)
+
+
+def test_copy_paste_blocked_by_overlap():
+    from adaptiveisp_tpu.data.augment import copy_paste
+
+    rng = np.random.RandomState(0)
+    im = np.zeros((64, 64, 3), np.float32)
+    seg = np.array([[5, 10], [25, 10], [25, 30], [5, 30]], np.float32)
+    # a second label sits exactly at the mirror location -> ioa = 1 >= 0.3
+    labels = np.array([[1, 5, 10, 25, 30],
+                       [0, 64 - 25, 10, 64 - 5, 30]], np.float32)
+    segs = [seg, np.array([[64 - 25, 10], [64 - 5, 10],
+                           [64 - 5, 30], [64 - 25, 30]], np.float32)]
+    _, labels2, segs2 = copy_paste(im, labels, segs, p=1.0, rng=rng)
+    assert len(labels2) == 2  # nothing pasted
+    assert len(segs2) == 2
+
+
+def test_segment_dataset_copy_paste(polygon_dataset):
+    from adaptiveisp_tpu.data.segment_dataset import SegmentDataset
+
+    ds0 = SegmentDataset(polygon_dataset, img_size=64, batch_size=2,
+                         augment=False, seed=0)
+    ds1 = SegmentDataset(polygon_dataset, img_size=64, batch_size=2,
+                         augment=True, fliplr=0.0, copy_paste=1.0, seed=0)
+    n0 = sum(len(ds0[i][1]) for i in range(len(ds0)))
+    n1 = sum(len(ds1[i][1]) for i in range(len(ds1)))
+    assert n1 >= n0  # copy_paste only ever adds instances
+    # masks and targets stay aligned
+    img, t, m = ds1[0]
+    assert len(t) == len(m)
+    for k in range(len(t)):
+        if m[k].sum() == 0:
+            continue
+        ys, xs = np.where(m[k] > 0.5)
+        # mask centroid inside the target box (normalized coords, /16 grid)
+        cx, cy = t[k, 1] * 16, t[k, 2] * 16
+        assert abs(xs.mean() - cx) < 4 and abs(ys.mean() - cy) < 4

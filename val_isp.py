@@ -35,6 +35,10 @@ def parse_args(argv=None):
     p.add_argument("--profile", action="store_true", default=False,
                    help="synced per-bucket kernel attribution instead of "
                         "the pipelined steady-state loop")
+    p.add_argument("--merge", action="store_true", default=False,
+                   help="merge-NMS (weighted-box fusion, general.py:951)")
+    p.add_argument("--plots", action="store_true", default=False,
+                   help="confusion matrix + PR/F1/P/R curve plots")
     p.add_argument("--save_json", action="store_true", default=False)
     p.add_argument("--anno_json", type=str, default=None,
                    help="COCO annotations for pycocotools rescoring")
@@ -80,7 +84,7 @@ def main(argv=None):
         save_dir=save_dir, save_image=args.save_image,
         save_param=args.save_param, max_images=args.max_images,
         profile=args.profile, save_json=args.save_json,
-        anno_json=args.anno_json)
+        anno_json=args.anno_json, merge=args.merge, plots=args.plots)
     print(f"{'Class':>22s}{'P':>11s}{'R':>11s}{'mAP50':>11s}{'mAP50-95':>11s}")
     print(f"{'all':>22s}{res['precision']:11.3g}{res['recall']:11.3g}"
           f"{res['map50']:11.3g}{res['map']:11.3g}")
