@@ -448,6 +448,16 @@ def main(argv: Optional[Sequence[str]] = None):
         hyp_dict["lr0"] = args.lr0
     nl = len(spec["anchors"])
 
+    if args.batch_size == -1:
+        # reference --batch-size -1 -> AutoBatch (yolov3/train.py:186);
+        # here from static XLA memory analysis, no trial allocations
+        from adaptiveisp_tpu.detect.autobatch import autobatch_detector
+
+        model0, vars0 = create_detector(
+            jax.random.PRNGKey(args.seed), spec=spec, imgsz=args.imgsz)
+        args.batch_size = autobatch_detector(
+            model0, vars0, imgsz=args.imgsz, train=True)
+
     val_ds = None
     if args.val_data:
         val_ds = DetectorDataset(args.val_data, img_size=args.imgsz,

@@ -185,3 +185,56 @@ def test_profiler_trace_smoke(tmp_path):
         jnp.ones((8, 8)).sum().block_until_ready()
     import os
     assert any(os.scandir(tmp_path))  # trace artifacts written
+
+
+# --------------------------------------------------------------------------- #
+# autobatch (reference utils/autobatch.py -> static XLA memory analysis)
+# --------------------------------------------------------------------------- #
+def test_autobatch_linear_model():
+    import jax
+    import jax.numpy as jnp
+
+    from adaptiveisp_tpu.detect.autobatch import autobatch, compiled_bytes
+
+    def make_args(b):
+        return (jax.ShapeDtypeStruct((b, 128, 128, 3), jnp.float32),)
+
+    def fn(x):
+        return (x * 2.0 + 1.0).sum(axis=(1, 2, 3))
+
+    m1 = compiled_bytes(fn, *make_args(1))
+    m4 = compiled_bytes(fn, *make_args(4))
+    assert m4 > m1 > 0
+
+    # capacity for ~exactly 64 images worth of linear growth
+    slope = (m4 - m1) / 3
+    intercept = m1 - slope
+    cap = intercept + slope * 100
+    b = autobatch(make_args, fn, fraction=1.0, capacity_bytes=int(cap),
+                  verbose=False)
+    assert b == 64  # floor(100) to the next power of two below
+    # tiny capacity -> batch 1
+    assert autobatch(make_args, fn, fraction=1.0,
+                     capacity_bytes=int(intercept + slope),
+                     verbose=False) == 1
+
+
+def test_autobatch_detector_surface():
+    import jax
+
+    from adaptiveisp_tpu.detect.autobatch import autobatch_detector
+    from adaptiveisp_tpu.detect.model import create_detector
+
+    spec = {
+        "nc": 2,
+        "anchors": [[10, 14, 23, 27, 37, 58]],
+        "backbone": [[-1, 1, "Conv", [8, 3, 2]],
+                     [-1, 1, "Conv", [16, 3, 2]],
+                     [-1, 1, "Conv", [16, 3, 2]]],
+        "head": [[[2], 1, "Detect", ["nc", "anchors"]]],
+    }
+    model, variables = create_detector(jax.random.PRNGKey(0), spec=spec,
+                                       imgsz=64)
+    b = autobatch_detector(model, variables, imgsz=64, fraction=0.8,
+                           capacity_bytes=512 * 1024 ** 2, verbose=False)
+    assert 1 <= b <= 1024 and (b & (b - 1)) == 0  # a power of two
