@@ -56,8 +56,13 @@ def render_with_raw_params(cfg, img, stage_names: Sequence[str], raw: Dict):
 
 
 def make_fixed_pipeline_step(cfg, stage_names: Sequence[str], yolo,
-                             anchors_grid, hyp: LossHyp, tx):
-    """One jitted optimization step over the pipeline's raw params."""
+                             anchors_grid, hyp: LossHyp, tx,
+                             grad_mask: Dict = None):
+    """One jitted optimization step over the pipeline's raw params.
+
+    grad_mask (same keys as the raw params, values 0/1) freezes stages —
+    the curriculum phase of optimize_fixed_pipeline uses it to fit the
+    luminance stages before unfreezing the color/spatial ones."""
 
     def loss_fn(raw, yolo_vars, images, targets, tmask):
         rendered = render_with_raw_params(cfg, images, stage_names, raw)
@@ -69,6 +74,9 @@ def make_fixed_pipeline_step(cfg, stage_names: Sequence[str], yolo,
     def step(raw, opt_state, yolo_vars, images, targets, tmask):
         loss, grads = jax.value_and_grad(loss_fn)(
             raw, yolo_vars, images, targets, tmask)
+        if grad_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g * m, grads, grad_mask)
         updates, opt_state = tx.update(grads, opt_state, raw)
         raw = optax.apply_updates(raw, updates)
         return raw, opt_state, loss
@@ -76,12 +84,24 @@ def make_fixed_pipeline_step(cfg, stage_names: Sequence[str], yolo,
     return jax.jit(step)
 
 
+# stages whose parameters act on global luminance — safe first-phase
+# targets for the curriculum (the color/spatial stages have degenerate
+# descent directions from a dark start: jointly optimizing all five from
+# neutral reliably collapses the render to black, round-3 measurement)
+LUMINANCE_STAGES = ("exposure", "gamma", "tone", "contrast")
+
+
 def optimize_fixed_pipeline(cfg, stage_names: Sequence[str], yolo, yolo_vars,
                             anchors_grid, batches: Iterable,
                             hyp: LossHyp = None, lr: float = 3e-2,
                             steps: int = 200, log_every: int = 50,
-                            verbose: bool = True):
+                            verbose: bool = True, curriculum: bool = True):
     """batches: iterable of (images, targets, tmask) device-ready tuples.
+
+    curriculum=True (default) fits the luminance stages alone for the
+    first third of the budget, then unfreezes everything — without it, a
+    dark (e.g. unprocessed-RAW) input collapses into an all-black local
+    minimum when color stages are free from step 0.
 
     Returns (squashed_stages, raw_params, loss_history).
     """
@@ -92,8 +112,19 @@ def optimize_fixed_pipeline(cfg, stage_names: Sequence[str], yolo, yolo_vars,
     tx = optax.adam(lr)
     raw = init_raw_params(cfg, stage_names)
     opt_state = tx.init(raw)
-    step = make_fixed_pipeline_step(cfg, stage_names, yolo, anchors_grid,
-                                    hyp, tx)
+    step_full = make_fixed_pipeline_step(cfg, stage_names, yolo,
+                                         anchors_grid, hyp, tx)
+    phase1_steps = 0
+    step_phase1 = None
+    lum = [n in LUMINANCE_STAGES for n in stage_names]
+    if curriculum and any(lum) and not all(lum):
+        mask = {f"{i}_{n}": jnp.float32(1.0 if n in LUMINANCE_STAGES
+                                        else 0.0)
+                for i, n in enumerate(stage_names)}
+        step_phase1 = make_fixed_pipeline_step(
+            cfg, stage_names, yolo, anchors_grid, hyp, tx, grad_mask=mask)
+        phase1_steps = steps // 3
+
     history: List[float] = []
     it = 0
     batch_iter = iter(batches)
@@ -106,12 +137,14 @@ def optimize_fixed_pipeline(cfg, stage_names: Sequence[str], yolo, yolo_vars,
             batch_iter = iter(cache)
             batch = next(batch_iter)
         images, targets, tmask = batch
+        step = step_phase1 if it < phase1_steps else step_full
         raw, opt_state, loss = step(raw, opt_state, yolo_vars, images,
                                     targets, tmask)
         history.append(float(loss))
         if verbose and it % log_every == 0:
-            print(f"[fixed-pipeline {it}] detect loss {history[-1]:.4f}",
-                  flush=True)
+            phase = "lum" if it < phase1_steps else "all"
+            print(f"[fixed-pipeline {it} {phase}] detect loss "
+                  f"{history[-1]:.4f}", flush=True)
         it += 1
 
     squashed = []

@@ -68,6 +68,7 @@ def shard_train_step(train_step, mesh: Mesh):
         wrapped,
         in_shardings=(rep, rep, None, rep, None),
         out_shardings=None,
+        donate_argnums=0,  # update params/opt in place across the mesh
     )
 
 

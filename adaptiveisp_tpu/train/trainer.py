@@ -54,7 +54,7 @@ class Trainer:
                  yolo_variables=None, t_max: int = 64,
                  data_source: Optional[str] = None,
                  mesh=None, log: bool = True, yolo_spec=None,
-                 yolo_dtype=None, device_replay: bool = False,
+                 yolo_dtype="bfloat16", device_replay: bool = False,
                  cached_reward: bool = True):
         cfg = cfg.replace(
             filter_runtime_penalty=tcfg.runtime_penalty,
@@ -110,9 +110,17 @@ class Trainer:
             cfg, k_value, image_size=tcfg.imgsz, batch=1)
         spec = yolo_spec or YOLOV3_SPEC
         self.yolo_spec = spec
-        # yolo_dtype=jnp.bfloat16 runs the frozen reward detector in MXU-
-        # native bf16 (~15% faster steps: 96 vs 113 ms at batch 8 @ 512px);
-        # default f32 keeps reward values parity-exact with the reference.
+        # The frozen reward detector runs in MXU-native bf16 BY DEFAULT:
+        # its fwd+bwd through the retouched image drops 41.5 -> 6.5 ms at
+        # batch 8 @ 512px on v5e (round-3 profile), and the reward is the
+        # *difference* of two clipped losses through the same detector, so
+        # the quantization largely cancels — gated by the reward-parity
+        # test (tests/test_train_eval.py::test_bf16_reward_parity).
+        # yolo_dtype="float32" restores bit-parity with the reference.
+        if yolo_dtype in ("bfloat16", "bf16"):
+            yolo_dtype = jnp.bfloat16
+        elif yolo_dtype in ("float32", "f32"):
+            yolo_dtype = None
         self.yolo = DetectionModel(spec=spec, dtype=yolo_dtype)
         if yolo_variables is None:
             _, yolo_variables = create_detector(k_yolo, spec=spec, imgsz=256)
@@ -134,7 +142,9 @@ class Trainer:
         if mesh is not None:
             self.train_step = mesh_lib.shard_train_step(step_fn, mesh)
         else:
-            self.train_step = jax.jit(step_fn)
+            # donate the TrainState: params/opt buffers are updated in
+            # place instead of allocating a second copy every step
+            self.train_step = jax.jit(step_fn, donate_argnums=0)
         self.state = init_train_state(agent_vars, value_vars,
                                       self.agent_tx, self.value_tx)
         if mesh is not None:

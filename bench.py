@@ -231,11 +231,17 @@ def bench_train_step(batch=8, imgsz=512):
     ka, kv, ky = jax.random.split(jax.random.PRNGKey(0), 3)
     agent, agent_vars = create_agent_state(cfg, ka, image_size=imgsz, batch=1)
     value, value_vars = create_value_state(cfg, kv, image_size=imgsz, batch=1)
-    yolo, yolo_vars = create_detector(ky, imgsz=256)
+    _, yolo_vars = create_detector(ky, imgsz=256)
+    # production trainer defaults (train/trainer.py): bf16 frozen reward
+    # detector (parity-gated, tests/test_train_eval.py) + donated state
+    from adaptiveisp_tpu.detect.model import DetectionModel
+    from adaptiveisp_tpu.detect.spec import YOLOV3_SPEC
+
+    yolo = DetectionModel(spec=YOLOV3_SPEC, dtype=jnp.bfloat16)
     tx = make_optimizer(tcfg.lr, 1000)
     step_fn = jax.jit(make_train_step(agent, value, yolo, cfg, tcfg,
                                       anchors_in_grid_units(), LossHyp(),
-                                      tx, tx))
+                                      tx, tx), donate_argnums=0)
     state = init_train_state(agent_vars, value_vars, tx, tx)
     rng = np.random.RandomState(0)
     targets = np.zeros((batch, 16, 5), np.float32)
@@ -250,18 +256,22 @@ def bench_train_step(batch=8, imgsz=512):
     out = step_fn(state, yolo_vars, b, jax.random.PRNGKey(1), 0.0)
     float(out.metrics["value_loss"])  # force compile+run
 
+    cur = [out]
+
     def chain(n):
-        cur = out
+        # thread the state forward (donation invalidates the old buffers)
         t0 = time.perf_counter()
         for i in range(n):
-            cur = step_fn(cur.state, yolo_vars, b, jax.random.PRNGKey(i), 0.0)
-        float(cur.metrics["value_loss"])
+            cur[0] = step_fn(cur[0].state, yolo_vars, b,
+                             jax.random.PRNGKey(i), 0.0)
+        float(cur[0].metrics["value_loss"])
         return time.perf_counter() - t0
 
     t2, t10 = chain(2), chain(10)
     per = (t10 - t2) / 8
     log(f"RL train step: {per * 1e3:.1f} ms/step -> {1 / per:.2f} steps/s "
-        f"(batch {batch} @ {imgsz}px, full YOLOv3 x2 fwd + bwd)")
+        f"(batch {batch} @ {imgsz}px, bf16 reward detector x2 fwd + bwd, "
+        f"donated state)")
     return per
 
 

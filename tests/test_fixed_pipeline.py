@@ -93,3 +93,49 @@ def test_optimize_full_chain_against_real_tiny_detector():
     assert np.isfinite(np.asarray(out)).all()
     ev = float(np.asarray(stages[0][1])[0, 0])
     assert -3.5 <= ev <= 3.5  # within the squash range
+
+
+def test_curriculum_masks_color_stages_first():
+    """curriculum=True: the first third of steps must not move the
+    color/spatial stages (grad-masked), only the luminance ones — the
+    guard against the all-black local minimum (round-3 fix)."""
+    model, variables = create_detector(jax.random.PRNGKey(0), spec=SPEC,
+                                       imgsz=32)
+    imgs = jnp.asarray(RNG.rand(2, 32, 32, 3).astype(np.float32) * 0.1)
+    targets = jnp.asarray(np.tile([[1, 0.5, 0.5, 0.5, 0.5]], (2, 1))
+                          .reshape(2, 1, 5).astype(np.float32))
+    tmask = jnp.ones((2, 1), bool)
+    hyp = LossHyp(obj=0.64 * (32 / 640) ** 2)
+    names = ("exposure", "improved_wb", "gamma")
+
+    # the phase-1 grad mask: masked stages must NOT move, luminance must
+    import optax
+
+    from adaptiveisp_tpu.train.fixed_pipeline import (
+        LUMINANCE_STAGES, make_fixed_pipeline_step)
+
+    tx = optax.adam(0.1)
+    raw = init_raw_params(CFG, names)
+    opt = tx.init(raw)
+    mask = {f"{i}_{n}": jnp.float32(1.0 if n in LUMINANCE_STAGES else 0.0)
+            for i, n in enumerate(names)}
+    step = make_fixed_pipeline_step(CFG, names, model, ANCHORS, hyp, tx,
+                                    grad_mask=mask)
+    init = init_raw_params(CFG, names)
+    for _ in range(5):
+        raw, opt, loss = step(raw, opt, variables, imgs, targets, tmask)
+    assert np.array_equal(np.asarray(raw["1_improved_wb"]),
+                          np.asarray(init["1_improved_wb"]))  # frozen
+    assert np.abs(np.asarray(raw["0_exposure"])
+                  - np.asarray(init["0_exposure"])).max() > 0  # moving
+
+    # the public API with curriculum=True still descends end-to-end
+    stages, raw2, hist = optimize_fixed_pipeline(
+        CFG, names, model, variables, ANCHORS,
+        batches=[(imgs, targets, tmask)], hyp=hyp, lr=0.1, steps=30,
+        verbose=False, curriculum=True)
+    assert len(stages) == 3
+    assert hist[-1] < hist[0]
+    # phase 2 unfroze the color stage
+    assert np.abs(np.asarray(raw2["1_improved_wb"])
+                  - np.asarray(init["1_improved_wb"])).max() > 0

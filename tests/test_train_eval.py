@@ -256,3 +256,88 @@ def test_initialize_detect_biases():
     np.testing.assert_allclose(b[:, 4] - b_old[:, 4],
                                np.log(8 / (IMG / 16) ** 2), rtol=1e-5)
     assert (b[:, 5:] < b_old[:, 5:]).all()  # negative class prior added
+
+
+def test_bf16_reward_parity():
+    """The frozen reward detector now defaults to bf16 in the trainer
+    (train/trainer.py): the reward must stay numerically equivalent to the
+    f32 reference path.  The reward is a DIFFERENCE of two clipped losses
+    through the same detector, so bf16 quantization largely cancels —
+    measured parity on CPU: per-image loss absdiff ~1e-4, reward (x100)
+    absdiff ~0.015, correlation > 0.997."""
+    from adaptiveisp_tpu.detect.loss import per_image_loss_batch
+    from adaptiveisp_tpu.detect.model import DetectionModel
+
+    _, vars_ = create_detector(jax.random.PRNGKey(2), spec=MINI_SPEC,
+                               imgsz=IMG)
+    f32 = DetectionModel(spec=MINI_SPEC)
+    bf16 = DetectionModel(spec=MINI_SPEC, dtype=jnp.bfloat16)
+    hyp = LossHyp()
+    anch = mini_anchors()
+
+    B = 6
+    imgs = jnp.asarray(RNG.rand(B, IMG, IMG, 3).astype(np.float32))
+    retouch = jnp.clip(imgs * 1.7 + 0.05, 0, 1)
+    targets = np.zeros((B, 4, 5), np.float32)
+    targets[:, 0] = [2, 0.5, 0.5, 0.3, 0.4]
+    tmask = np.zeros((B, 4), bool)
+    tmask[:, 0] = True
+    targets, tmask = jnp.asarray(targets), jnp.asarray(tmask)
+
+    def losses(model, x):
+        p = model.apply(vars_, x, train=False)
+        loss, _ = per_image_loss_batch(p, targets, tmask, anch, hyp)
+        return jnp.clip(loss, 0.0, 1.0)
+
+    li32, lr32 = losses(f32, imgs), losses(f32, retouch)
+    libf, lrbf = losses(bf16, imgs), losses(bf16, retouch)
+    assert float(jnp.abs(li32 - libf).max()) < 5e-3
+    assert float(jnp.abs(lr32 - lrbf).max()) < 5e-3
+    r32 = np.asarray((li32 - lr32) * 100).ravel()
+    rbf = np.asarray((libf - lrbf) * 100).ravel()
+    assert np.abs(r32 - rbf).max() < 0.25
+    if r32.std() > 1e-6:
+        assert np.corrcoef(r32, rbf)[0, 1] > 0.99
+
+
+def test_train_step_donation_threading():
+    """The trainer jits its step with donate_argnums=0 (state updated in
+    place); threading the state forward must keep working."""
+    step_fn, state, yolo_vars = _build_train_setup()
+    jit_step = jax.jit(step_fn, donate_argnums=0)
+    b = _batch()
+    out = jit_step(state, yolo_vars, b, jax.random.PRNGKey(0), 0.0)
+    out2 = jit_step(out.state, yolo_vars, b, jax.random.PRNGKey(1), 0.5)
+    assert np.isfinite(float(out2.metrics["value_loss"]))
+    assert int(jax.device_get(out2.state.step)) == 2
+
+
+def test_trainer_yolo_dtype_resolution(tmp_path):
+    """String dtype knobs resolve: 'bfloat16' (default) -> bf16 module,
+    'float32' -> None (reference parity)."""
+    import os
+
+    from PIL import Image
+
+    from adaptiveisp_tpu.train.trainer import Trainer
+
+    img_dir = tmp_path / "images" / "train"
+    lbl_dir = tmp_path / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    for i in range(4):
+        Image.fromarray((RNG.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+            img_dir / f"i{i}.png")
+        (lbl_dir / f"i{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+
+    cfg = CFG.replace(replay_memory_size=4)
+    tcfg = TrainConfig(batch_size=2, epochs=1, imgsz=IMG, data_name="coco")
+    tr = Trainer(cfg, tcfg, str(img_dir), save_dir=str(tmp_path / "runA"),
+                 t_max=4, data_source="raw", log=False, yolo_spec=MINI_SPEC)
+    assert tr.yolo.dtype == jnp.bfloat16
+    tr.close()
+    tr2 = Trainer(cfg, tcfg, str(img_dir), save_dir=str(tmp_path / "runB"),
+                  t_max=4, data_source="raw", log=False,
+                  yolo_spec=MINI_SPEC, yolo_dtype="float32")
+    assert tr2.yolo.dtype is None
+    tr2.close()

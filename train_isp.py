@@ -61,6 +61,11 @@ def parse_args(argv=None):
                    help="recompute the input-image detector loss every step "
                         "instead of reusing the slot's cached write-back "
                         "loss (numerically identical; debug only)")
+    p.add_argument("--yolo_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="compute dtype of the frozen reward detector "
+                        "(bf16 = MXU-native, ~6x cheaper reward backward; "
+                        "float32 = reference bit-parity)")
     args = p.parse_args(argv)
     args.save_path = args.data_name + "-" + args.save_path
     if args.data_name == "lod":
@@ -142,7 +147,8 @@ def main(argv=None):
             save_dir=os.path.join("experiments", args.save_path),
             yolo_variables=yolo_vars, data_source=data.get("source"),
             mesh=mesh, device_replay=args.device_replay,
-            cached_reward=not args.no_cached_reward)
+            cached_reward=not args.no_cached_reward,
+            yolo_dtype=args.yolo_dtype)
         if args.resume:
             trainer.resume(args.resume)
         trainer.train(max_steps=args.max_steps)
