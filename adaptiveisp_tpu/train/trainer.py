@@ -152,6 +152,9 @@ class Trainer:
             self.yolo_vars = mesh_lib.replicate(mesh, self.yolo_vars)
         self.filter_names = short_names(cfg)
         self.dropout_key = jax.random.PRNGKey(tcfg.seed + 7)
+        # per-step scalar history (reward/losses): the learning-gate tests
+        # and the README learning table read trends off this
+        self.history: list = []
 
         # ---- replay pool (after the models: cached_reward needs the
         # detector to seed per-slot input losses) ------------------------
@@ -265,6 +268,15 @@ class Trainer:
                         feed["shape"], list(new_states))
             mloss_agent = (mloss_agent * it + float(metrics["agent_loss"])) / (it + 1)
             mloss_value = (mloss_value * it + float(metrics["value_loss"])) / (it + 1)
+            self.history.append({
+                "reward": float(metrics["reward"]),
+                "penalty": float(metrics["penalty"]),
+                "agent_loss": float(metrics["agent_loss"]),
+                "value_loss": float(metrics["value_loss"]),
+                "detect_input_loss": float(metrics["detect_input_loss"]),
+                "detect_retouch_loss": float(
+                    metrics["detect_retouch_loss"]),
+            })
 
             if self.writer is not None and it % cfg.summary_freq == 0:
                 self.writer.scalars({

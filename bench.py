@@ -239,19 +239,24 @@ def bench_train_step(batch=8, imgsz=512):
 
     yolo = DetectionModel(spec=YOLOV3_SPEC, dtype=jnp.bfloat16)
     tx = make_optimizer(tcfg.lr, 1000)
+    # cached_input_loss: the device-replay pool caches each slot's input
+    # loss (train_isp.py default since round 3) — numerically identical to
+    # recomputing it (frozen detector), skips one of the two YOLO fwds
     step_fn = jax.jit(make_train_step(agent, value, yolo, cfg, tcfg,
                                       anchors_in_grid_units(), LossHyp(),
-                                      tx, tx), donate_argnums=0)
+                                      tx, tx, cached_input_loss=True),
+                      donate_argnums=0)
     state = init_train_state(agent_vars, value_vars, tx, tx)
     rng = np.random.RandomState(0)
     targets = np.zeros((batch, 16, 5), np.float32)
     targets[:, 0] = [2, 0.5, 0.5, 0.3, 0.4]
     tmask = np.zeros((batch, 16), bool)
     tmask[:, 0] = True
+    loss_in = rng.rand(batch, 1).astype(np.float32)  # pool-cached losses
     b = (jnp.asarray(rng.rand(batch, imgsz, imgsz, 3).astype(np.float32)),
          jnp.asarray(rng.rand(batch, cfg.z_dim).astype(np.float32)),
          jnp.asarray(get_initial_states(batch, cfg.num_state_dim)),
-         jnp.asarray(targets), jnp.asarray(tmask))
+         jnp.asarray(targets), jnp.asarray(tmask), jnp.asarray(loss_in))
 
     out = step_fn(state, yolo_vars, b, jax.random.PRNGKey(1), 0.0)
     float(out.metrics["value_loss"])  # force compile+run
@@ -270,8 +275,8 @@ def bench_train_step(batch=8, imgsz=512):
     t2, t10 = chain(2), chain(10)
     per = (t10 - t2) / 8
     log(f"RL train step: {per * 1e3:.1f} ms/step -> {1 / per:.2f} steps/s "
-        f"(batch {batch} @ {imgsz}px, bf16 reward detector x2 fwd + bwd, "
-        f"donated state)")
+        f"(batch {batch} @ {imgsz}px, production path: bf16 reward "
+        f"detector, cached input loss, donated state)")
     return per
 
 

@@ -53,10 +53,13 @@ def parse_args(argv=None):
                         "epochs*1000/batch like the reference")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel devices (0 = all available)")
-    p.add_argument("--device_replay", action="store_true", default=False,
+    p.add_argument("--device_replay", action="store_true", default=True,
                    help="keep the replay image pool in device HBM (DP-mesh "
                         "sharded when --dp; kills the per-step host "
-                        "round-trip)")
+                        "round-trip).  Default ON since round 3.")
+    p.add_argument("--no_device_replay", dest="device_replay",
+                   action="store_false",
+                   help="host-side replay pool (reference data flow)")
     p.add_argument("--no_cached_reward", action="store_true", default=False,
                    help="recompute the input-image detector loss every step "
                         "instead of reusing the slot's cached write-back "
