@@ -173,3 +173,18 @@ def test_evolve_detector_on_shapes(tmp_path):
     assert np.isfinite(res["best_fitness"])
     assert os.path.exists(str(tmp_path / "evolve" / "evolve.csv"))
     assert os.path.exists(str(tmp_path / "evolve" / "hyp_evolve.yaml"))
+
+
+def test_shipped_hyp_presets_load():
+    """configs/hyps/*.yaml — the reference data/hyps surface — all load
+    and scratch-low equals the built-in defaults."""
+    import glob
+
+    files = sorted(glob.glob("configs/hyps/*.yaml"))
+    assert len(files) >= 4
+    for f in files:
+        hyp = load_hyp(f)
+        assert set(hyp) == set(DEFAULT_HYP)
+    assert load_hyp("configs/hyps/scratch-low.yaml") == DEFAULT_HYP
+    high = load_hyp("configs/hyps/scratch-high.yaml")
+    assert high["copy_paste"] == 0.1 and high["lrf"] == 0.1
