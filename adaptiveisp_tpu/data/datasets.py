@@ -61,7 +61,7 @@ class ISPDataset:
                  noise_level=None, use_linear: bool = False,
                  limit: int = -1, train: bool = True,
                  cache_labels: bool = True, cache_images=None,
-                 cache_threads: int = 8):
+                 cache_threads: int = 8, seed: int = 0):
         self.img_size = img_size
         self.source = source
         self.high_res = high_res
@@ -71,6 +71,10 @@ class ISPDataset:
         self.noise_level = noise_level
         self.use_linear = use_linear
         self.train = train
+        # train-mode unprocess randomness: a dataset-local stream (NOT the
+        # global np.random — global state made runs depend on import/suite
+        # order and raced with per-image val reseeds, round-3 fix)
+        self.rng = np.random.RandomState(seed)
 
         self.im_files = parse_image_list(path)
         if limit > 0:
@@ -162,16 +166,23 @@ class ISPDataset:
         if self.source in ("raw", "raw16"):
             if not self.train:
                 # deterministic per-image seed from the filename stem
-                # (reference dataset.py:83-86)
+                # (reference dataset.py:83-86); stable digest fallback —
+                # NOT hash(), which is salted per process and silently
+                # made val degradations differ between runs (round-3 fix)
                 stem = os.path.splitext(os.path.split(
                     self.im_files[index])[1])[0]
                 try:
-                    np.random.seed(int(stem))
+                    seed = int(stem)
                 except ValueError:
-                    np.random.seed(abs(hash(stem)) % (2 ** 31))
+                    import zlib
+
+                    seed = zlib.crc32(stem.encode()) % (2 ** 31)
+                rng = np.random.RandomState(seed)
+            else:
+                rng = self.rng
             img, _ = raw_np.unprocess_wo_mosaic(
                 img, self.add_noise, self.brightness_range,
-                self.noise_level, self.use_linear)
+                self.noise_level, self.use_linear, rng=rng)
             if self.source == "raw16":
                 # uint16 sensor round-trip (the RAWV2 variant,
                 # reference dataset.py:157-275)

@@ -40,17 +40,17 @@ RGB2XYZ = np.array(
      [0.0193339, 0.1191920, 0.9503041]])
 
 
-def random_ccm():
-    weights = np.random.uniform(1e-8, 1e8, size=(4, 1, 1))
+def random_ccm(rng=np.random):
+    weights = rng.uniform(1e-8, 1e8, size=(4, 1, 1))
     xyz2cam = np.sum(XYZ2CAMS * weights, axis=0) / np.sum(weights, axis=0)
     rgb2cam = np.matmul(xyz2cam, RGB2XYZ)
     return rgb2cam / np.sum(rgb2cam, axis=-1, keepdims=True)
 
 
-def random_gains():
-    rgb_gain = 1.0 / np.random.normal(0.8, 0.1)
-    red_gain = np.random.uniform(1.9, 2.4)
-    blue_gain = np.random.uniform(1.5, 1.9)
+def random_gains(rng=np.random):
+    rgb_gain = 1.0 / rng.normal(0.8, 0.1)
+    red_gain = rng.uniform(1.9, 2.4)
+    blue_gain = rng.uniform(1.5, 1.9)
     return rgb_gain, red_gain, blue_gain
 
 
@@ -79,34 +79,43 @@ def safe_invert_gains(image, rgb_gain, red_gain, blue_gain):
     return image * safe
 
 
-def adjust_random_brightness(image, s_range=(0.1, 0.3)):
+def adjust_random_brightness(image, s_range=(0.1, 0.3), rng=np.random):
     if isinstance(s_range, (list, tuple)):
-        ratio = np.random.rand() * (s_range[1] - s_range[0]) + s_range[0]
+        ratio = rng.rand() * (s_range[1] - s_range[0]) + s_range[0]
     else:
         ratio = s_range
     return image * ratio, ratio
 
 
-def random_noise_levels(noise_level=None, use_linear=False):
+def random_noise_levels(noise_level=None, use_linear=False,
+                        rng=np.random):
     if noise_level is None:
         if use_linear:
-            shot = np.random.uniform(0.0001, 0.012)
+            shot = rng.uniform(0.0001, 0.012)
         else:
-            shot = np.exp(np.random.uniform(np.log(0.0001), np.log(0.012)))
+            shot = np.exp(rng.uniform(np.log(0.0001), np.log(0.012)))
     else:
         shot = noise_level
-    log_read = 2.18 * np.log(shot) + 1.20 + np.random.normal(0, 0.26)
+    log_read = 2.18 * np.log(shot) + 1.20 + rng.normal(0, 0.26)
     return shot, np.exp(log_read)
 
 
 def unprocess_wo_mosaic(image, add_noise=False, brightness_range=None,
-                        noise_level=None, use_linear=False):
-    """sRGB [0,1] HWC -> synthetic linear RAW, metadata dict."""
-    rgb2cam = random_ccm()
-    cam2rgb = np.linalg.inv(rgb2cam)
-    rgb_gain, red_gain, blue_gain = random_gains()
+                        noise_level=None, use_linear=False,
+                        rng=np.random):
+    """sRGB [0,1] HWC -> synthetic linear RAW, metadata dict.
 
-    image, _ = adjust_random_brightness(image, s_range=0.9)
+    rng: a np.random.RandomState (or the legacy global module).  An
+    explicit RandomState draws the BIT-SAME sequence as np.random.seed(s)
+    + global draws (same MT19937), so reference val-seed parity is
+    preserved while removing all global-state races (a concurrently
+    prefetching feeder thread used to interleave with per-image val
+    reseeds — round-3 fix)."""
+    rgb2cam = random_ccm(rng)
+    cam2rgb = np.linalg.inv(rgb2cam)
+    rgb_gain, red_gain, blue_gain = random_gains(rng)
+
+    image, _ = adjust_random_brightness(image, s_range=0.9, rng=rng)
     image = inverse_smoothstep(image)
     image = gamma_expansion(image)
     image = apply_ccm(image, rgb2cam)
@@ -115,14 +124,15 @@ def unprocess_wo_mosaic(image, add_noise=False, brightness_range=None,
 
     gain = 1.0
     if brightness_range is not None:
-        image, gain = adjust_random_brightness(image, brightness_range)
+        image, gain = adjust_random_brightness(image, brightness_range,
+                                               rng=rng)
 
     shot, read = 0.0, 0.0
     if add_noise:
-        shot, read = random_noise_levels(noise_level, use_linear)
+        shot, read = random_noise_levels(noise_level, use_linear, rng=rng)
         variance = image * shot + read
-        image = image + np.random.normal(0, np.sqrt(variance),
-                                         size=variance.shape)
+        image = image + rng.normal(0, np.sqrt(variance),
+                                   size=variance.shape)
         image = np.clip(image, 0.0, 1.0)
 
     meta = {
