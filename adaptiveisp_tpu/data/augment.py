@@ -137,6 +137,71 @@ def mixup(im: np.ndarray, labels: np.ndarray, im2: np.ndarray,
     return im, np.concatenate([labels, labels2], 0)
 
 
+class ExtraAugment:
+    """Extra low-probability photometric transforms.
+
+    Counterpart of the reference's optional Albumentations wrapper
+    (augmentations.py:22-52), which — when the external package is
+    installed — applies Blur/MedianBlur/ToGray/CLAHE each at p=0.01.
+    Those four are implemented here in plain NumPy (box blur, 3x3 median,
+    luminance grayscale, tile-free histogram equalization as the CLAHE
+    stand-in), so the capability ships without the dependency; box-only
+    transforms (the preset's p=0.0 entries) are omitted.  Custom
+    callables can be appended via ``transforms``: each is
+    ``f(img, rng) -> img`` with its own probability."""
+
+    def __init__(self, p_blur: float = 0.01, p_median: float = 0.01,
+                 p_gray: float = 0.01, p_clahe: float = 0.01,
+                 transforms: Sequence = ()):
+        self.ops = [(p_blur, self._blur), (p_median, self._median),
+                    (p_gray, self._gray), (p_clahe, self._equalize)]
+        self.ops += [(p, f) for p, f in transforms]
+
+    def __call__(self, img: np.ndarray,
+                 rng: np.random.RandomState) -> np.ndarray:
+        for p, f in self.ops:
+            if p and rng.rand() < p:
+                img = f(img, rng)
+        return img
+
+    @staticmethod
+    def _blur(img, rng, k: int = 3):
+        pad = k // 2
+        x = np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+        out = np.zeros_like(img)
+        for dy in range(k):
+            for dx in range(k):
+                out += x[dy:dy + img.shape[0], dx:dx + img.shape[1]]
+        return out / (k * k)
+
+    @staticmethod
+    def _median(img, rng, k: int = 3):
+        pad = k // 2
+        x = np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+        stack = [x[dy:dy + img.shape[0], dx:dx + img.shape[1]]
+                 for dy in range(k) for dx in range(k)]
+        return np.median(np.stack(stack), axis=0).astype(img.dtype)
+
+    @staticmethod
+    def _gray(img, rng):
+        lum = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+               + 0.114 * img[..., 2])
+        return np.repeat(lum[..., None], 3, axis=-1).astype(img.dtype)
+
+    @staticmethod
+    def _equalize(img, rng, bins: int = 256):
+        lum = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+               + 0.114 * img[..., 2])
+        hist, edges = np.histogram(lum, bins=bins, range=(0.0, 1.0))
+        cdf = hist.cumsum().astype(np.float64)
+        if cdf[-1] == 0:
+            return img
+        cdf /= cdf[-1]
+        eq = np.interp(lum.ravel(), edges[:-1], cdf).reshape(lum.shape)
+        gain = eq / np.maximum(lum, 1e-6)
+        return np.clip(img * gain[..., None], 0.0, 1.0).astype(img.dtype)
+
+
 def bbox_ioa(box: np.ndarray, boxes: np.ndarray,
              eps: float = 1e-7) -> np.ndarray:
     """Intersection of `box` with each of `boxes`, over the AREA OF

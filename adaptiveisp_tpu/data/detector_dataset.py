@@ -63,7 +63,7 @@ class DetectorDataset:
                  rect: bool = False, stride: int = 32, pad: float = 0.0,
                  cache: str = "none", hyp: Optional[AugHyp] = None,
                  nc: Optional[int] = None, single_cls: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, extra_augment=None):
         assert not (augment and rect), "rect is a val/inference mode"
         if isinstance(path_or_files, (list, tuple)):
             self.im_files = list(path_or_files)
@@ -93,6 +93,7 @@ class DetectorDataset:
         self.stride = stride
         self.hyp = hyp or AugHyp()
         self.rng = np.random.RandomState(seed)
+        self.extra_augment = extra_augment  # data/augment.ExtraAugment
         n = len(self.im_files)
         self.indices = np.arange(n)
 
@@ -211,6 +212,10 @@ class DetectorDataset:
                 eps=1e-3)
 
         if self.augment:
+            if self.extra_augment is not None:
+                # pixel-only transforms: boxes are untouched (the
+                # reference's Albumentations hook, augmentations.py:49-52)
+                img = self.extra_augment(img, rng)
             img = A.augment_hsv(img, rng, hyp.hsv_h, hyp.hsv_s, hyp.hsv_v)
             if rng.rand() < hyp.flipud:
                 img, labels = A.flip_ud(img, labels)

@@ -390,3 +390,60 @@ def test_epoch_batches_host_sharding(shapes_dataset):
     assert len(a) == len(b) == 4 and len(full) == 8
     # disjoint fingerprints (random images -> sums unique)
     assert not (set(np.round(a, 3)) & set(np.round(b, 3)))
+
+
+# --------------------------------------------------------------------------- #
+# ExtraAugment (the reference Albumentations hook, augmentations.py:22-52)
+# --------------------------------------------------------------------------- #
+def test_extra_augment_ops():
+    ea = A.ExtraAugment()
+    rng = np.random.RandomState(0)
+    img = rng.rand(24, 24, 3).astype(np.float32)
+    # each op preserves shape/range and is deterministic
+    for p, f in ea.ops:
+        out = f(img, rng)
+        assert out.shape == img.shape
+        assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-6
+    # gray: all channels equal
+    g = ea._gray(img, rng)
+    np.testing.assert_array_equal(g[..., 0], g[..., 1])
+    # blur: reduces variance
+    assert ea._blur(img, rng).var() < img.var()
+    # equalize: flattens the luminance histogram (std of bin counts drops)
+    dark = (img * 0.3).astype(np.float32)
+    eq = ea._equalize(dark, rng)
+    lum = lambda x: 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    h0, _ = np.histogram(lum(dark), bins=16, range=(0, 1))
+    h1, _ = np.histogram(lum(eq), bins=16, range=(0, 1))
+    assert h1.std() < h0.std()
+
+
+def test_extra_augment_probability_gate_and_custom(shapes_dataset):
+    calls = []
+
+    def marker(img, rng):
+        calls.append(1)
+        return img
+
+    ea_never = A.ExtraAugment(0.0, 0.0, 0.0, 0.0)
+    ea_always = A.ExtraAugment(0.0, 0.0, 0.0, 0.0,
+                               transforms=[(1.0, marker)])
+    rng = np.random.RandomState(0)
+    img = rng.rand(8, 8, 3).astype(np.float32)
+    out = ea_never(img, rng)
+    np.testing.assert_array_equal(out, img)  # all gates closed: identity
+    ea_always(img, rng)
+    assert calls == [1]
+
+    # wired through DetectorDataset: pixel-only, labels untouched
+    # flips disabled so the extra gate draw can't shift the flip state
+    hyp = AugHyp(mosaic=0.0, fliplr=0.0, flipud=0.0)
+    ds = DetectorDataset(shapes_dataset, img_size=96, batch_size=4,
+                         augment=True, hyp=hyp, seed=3,
+                         extra_augment=A.ExtraAugment(1.0, 0.0, 0.0, 0.0))
+    ds0 = DetectorDataset(shapes_dataset, img_size=96, batch_size=4,
+                          augment=True, hyp=hyp, seed=3)
+    img1, lb1 = ds[0]
+    img0, lb0 = ds0[0]
+    np.testing.assert_array_equal(lb1, lb0)   # boxes identical
+    assert not np.array_equal(img1, img0)     # pixels blurred
