@@ -289,9 +289,30 @@ class ClassifierTrainer:
                                  "loss": float(np.mean(losses)),
                                  **metrics,
                                  "seconds": time.time() - t0})
+            self._append_csv(self.history[-1])
             if self.stopper(epoch, metrics["top1"]):
                 break
+        if self.save_dir is not None and self.history:
+            from adaptiveisp_tpu.obs.plots import plot_results
+
+            plot_results(os.path.join(self.save_dir, "results.csv"))
         return self.history
+
+    def _append_csv(self, row: Dict):
+        """Per-epoch results.csv + results.png on completion (the
+        reference classify trainer logs the same per-epoch metrics via
+        its Loggers csv sink)."""
+        if self.save_dir is None:
+            return
+        os.makedirs(self.save_dir, exist_ok=True)
+        path = os.path.join(self.save_dir, "results.csv")
+        keys = [k for k, v in row.items() if isinstance(v, (int, float))]
+        new = not os.path.exists(path)
+        with open(path, "a") as f:
+            if new:
+                f.write(",".join(keys) + "\n")
+            f.write(",".join(f"{row[k]:.6g}" if isinstance(row[k], float)
+                             else str(row[k]) for k in keys) + "\n")
 
 
 def predict(model, variables, images, classes: Sequence[str],

@@ -81,6 +81,10 @@ def test_classifier_trains_to_separation(folder_dataset, tmp_path):
     assert history[-1]["top1"] > 0.75, history  # color task is separable
     assert (tmp_path / "best.pkl").exists()
     assert (tmp_path / "last.pkl").exists()
+    # per-epoch csv + curve plot (round-3 logging parity)
+    assert (tmp_path / "results.csv").exists()
+    assert len(open(tmp_path / "results.csv").readlines()) == len(history) + 1
+    assert (tmp_path / "results.png").stat().st_size > 1000
 
     # predict() returns ranked (class, prob) pairs
     ims = np.stack([val_ds[i][0] for i in range(4)])
