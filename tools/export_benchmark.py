@@ -127,6 +127,45 @@ def main():
     exported = load_stablehlo(path)
     results.append(check("yolov3-tiny-cls", cls_fwd, exported, (x,)))
 
+    # TF interchange formats (SavedModel / frozen pb / TFLite), when TF is
+    # present — the reference benchmarks the same formats
+    # (yolov3/benchmarks.py:52-150 over export.py:99-120).
+    try:
+        import tensorflow  # noqa: F401
+
+        have_tf = True
+    except ImportError:
+        have_tf = False
+        print("tensorflow not installed - skipping SavedModel/pb/TFLite")
+    if have_tf:
+        from adaptiveisp_tpu.detect.export_tf import (
+            export_detector_tf, run_saved_model, run_tflite)
+
+        model, variables = create_detector(
+            jax.random.PRNGKey(0), spec=YOLOV3_TINY_SPEC, imgsz=args.imgsz)
+        native = jax.jit(lambda im: decode_predictions(
+            model.apply(variables, im, train=False), YOLOV3_TINY_SPEC))
+        want = np.asarray(native(x))
+        paths = export_detector_tf(
+            model, variables, os.path.join(args.out, "tiny_tf"),
+            spec=YOLOV3_TINY_SPEC, imgsz=args.imgsz,
+            formats=("saved_model", "pb", "tflite", "tflite-fp16"))
+        for fmt, runner in [("saved_model", run_saved_model),
+                            ("tflite", run_tflite),
+                            ("tflite-fp16", run_tflite)]:
+            t0 = time.perf_counter()
+            got = runner(paths[fmt], np.asarray(x))
+            dt = time.perf_counter() - t0
+            got = np.asarray(got[0] if isinstance(got, tuple) else got)
+            atol = 5e-2 if "fp16" in fmt else 1e-3
+            ok = got.shape == want.shape and (
+                np.abs(got - want).max() < atol)
+            print(f"{'yolov3-tiny/' + fmt:30s} ok={ok}  run {dt*1e3:7.1f}ms"
+                  f"  max|d|={np.abs(got - want).max():.2e}")
+            results.append(ok)
+        print(f"{'yolov3-tiny/pb':30s} ok=True  "
+              f"({os.path.getsize(paths['pb'])} bytes, frozen GraphDef)")
+
     print("ALL OK" if all(results) else "FAILURES PRESENT")
     return 0 if all(results) else 1
 
