@@ -13,23 +13,28 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from adaptiveisp_tpu.detect.activations import apply_activation
+
 
 def autopad(k: int) -> int:
     return k // 2
 
 
 class ConvBNAct(nn.Module):
-    """conv(bias=False) -> BN -> SiLU (reference common.py:45-59).
+    """conv(bias=False) -> BN -> act (reference common.py:45-59).
 
     `dtype` is the computation dtype: bfloat16 rides the MXU natively on TPU
     (params stay float32); None keeps float32 everywhere.  `p` overrides the
     k//2 autopad (the v5 6x6-stem Conv passes an explicit padding).
+    `act`: True = SiLU (the reference Conv default), False = identity, or an
+    activation name from detect/activations.py (the reference's
+    `Conv.default_act` rebinding via the spec-level `activation:` key).
     """
 
     c2: int
     k: int = 1
     s: int = 1
-    act: bool = True
+    act: Any = True
     dtype: Any = None
     p: Optional[int] = None
 
@@ -41,7 +46,7 @@ class ConvBNAct(nn.Module):
                     use_bias=False, name="conv", dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn", dtype=self.dtype)(x)
-        return nn.silu(x) if self.act else x
+        return apply_activation(self.act, x, train=train)
 
 
 class Bottleneck(nn.Module):
@@ -50,13 +55,15 @@ class Bottleneck(nn.Module):
     c2: int
     shortcut: bool = True
     e: float = 0.5
+    act: Any = True
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y = ConvBNAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
-        y = ConvBNAct(self.c2, 3, 1, dtype=self.dtype,
+        y = ConvBNAct(c_, 1, 1, act=self.act, dtype=self.dtype,
+                      name="cv1")(x, train=train)
+        y = ConvBNAct(self.c2, 3, 1, act=self.act, dtype=self.dtype,
                       name="cv2")(y, train=train)
         if self.shortcut and x.shape[-1] == self.c2:
             return x + y
@@ -72,18 +79,21 @@ class C3(nn.Module):
     n: int = 1
     shortcut: bool = True
     e: float = 0.5
+    act: Any = True
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        a = ConvBNAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        a = ConvBNAct(c_, 1, 1, act=self.act, dtype=self.dtype,
+                      name="cv1")(x, train=train)
         for r in range(self.n):
-            a = Bottleneck(c_, self.shortcut, e=1.0, dtype=self.dtype,
-                           name=f"m{r}")(a, train=train)
-        b = ConvBNAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train=train)
+            a = Bottleneck(c_, self.shortcut, e=1.0, act=self.act,
+                           dtype=self.dtype, name=f"m{r}")(a, train=train)
+        b = ConvBNAct(c_, 1, 1, act=self.act, dtype=self.dtype,
+                      name="cv2")(x, train=train)
         y = jnp.concatenate([a, b], axis=-1)
-        return ConvBNAct(self.c2, 1, 1, dtype=self.dtype,
+        return ConvBNAct(self.c2, 1, 1, act=self.act, dtype=self.dtype,
                          name="cv3")(y, train=train)
 
 
@@ -95,15 +105,17 @@ class BottleneckCSP(nn.Module):
     n: int = 1
     shortcut: bool = True
     e: float = 0.5
+    act: Any = True
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        a = ConvBNAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        a = ConvBNAct(c_, 1, 1, act=self.act, dtype=self.dtype,
+                      name="cv1")(x, train=train)
         for r in range(self.n):
-            a = Bottleneck(c_, self.shortcut, e=1.0, dtype=self.dtype,
-                           name=f"m{r}")(a, train=train)
+            a = Bottleneck(c_, self.shortcut, e=1.0, act=self.act,
+                           dtype=self.dtype, name=f"m{r}")(a, train=train)
         a = nn.Conv(c_, (1, 1), use_bias=False, name="cv3",
                     dtype=self.dtype)(a)
         b = nn.Conv(c_, (1, 1), use_bias=False, name="cv2",
@@ -112,7 +124,7 @@ class BottleneckCSP(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn", dtype=self.dtype)(y)
         y = nn.silu(y)
-        return ConvBNAct(self.c2, 1, 1, dtype=self.dtype,
+        return ConvBNAct(self.c2, 1, 1, act=self.act, dtype=self.dtype,
                          name="cv4")(y, train=train)
 
 
@@ -128,15 +140,17 @@ class SPP(nn.Module):
 
     c2: int
     k: Tuple[int, ...] = (5, 9, 13)
+    act: Any = True
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
-        x = ConvBNAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        x = ConvBNAct(c_, 1, 1, act=self.act, dtype=self.dtype,
+                      name="cv1")(x, train=train)
         y = jnp.concatenate([x] + [_pool_same(x, k) for k in self.k],
                             axis=-1)
-        return ConvBNAct(self.c2, 1, 1, dtype=self.dtype,
+        return ConvBNAct(self.c2, 1, 1, act=self.act, dtype=self.dtype,
                          name="cv2")(y, train=train)
 
 
@@ -148,17 +162,19 @@ class SPPF(nn.Module):
 
     c2: int
     k: int = 5
+    act: Any = True
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
-        x = ConvBNAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        x = ConvBNAct(c_, 1, 1, act=self.act, dtype=self.dtype,
+                      name="cv1")(x, train=train)
         y1 = _pool_same(x, self.k)
         y2 = _pool_same(y1, self.k)
         y3 = _pool_same(y2, self.k)
         y = jnp.concatenate([x, y1, y2, y3], axis=-1)
-        return ConvBNAct(self.c2, 1, 1, dtype=self.dtype,
+        return ConvBNAct(self.c2, 1, 1, act=self.act, dtype=self.dtype,
                          name="cv2")(y, train=train)
 
 
@@ -171,6 +187,7 @@ class Focus(nn.Module):
     c2: int
     k: int = 1
     s: int = 1
+    act: Any = True
     dtype: Any = None
 
     @nn.compact
@@ -181,8 +198,8 @@ class Focus(nn.Module):
             x[:, ::2, 1::2, :],   # (even rows, odd cols)
             x[:, 1::2, 1::2, :],  # (odd rows, odd cols)
         ], axis=-1)
-        return ConvBNAct(self.c2, self.k, self.s, dtype=self.dtype,
-                         name="conv")(y, train=train)
+        return ConvBNAct(self.c2, self.k, self.s, act=self.act,
+                         dtype=self.dtype, name="conv")(y, train=train)
 
 
 class Proto(nn.Module):
@@ -192,16 +209,17 @@ class Proto(nn.Module):
 
     npr: int = 256
     nm: int = 32
+    act: Any = True
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBNAct(self.npr, 3, 1, dtype=self.dtype,
+        x = ConvBNAct(self.npr, 3, 1, act=self.act, dtype=self.dtype,
                       name="cv1")(x, train=train)
         x = upsample_nearest_2x(x)
-        x = ConvBNAct(self.npr, 3, 1, dtype=self.dtype,
+        x = ConvBNAct(self.npr, 3, 1, act=self.act, dtype=self.dtype,
                       name="cv2")(x, train=train)
-        return ConvBNAct(self.nm, 1, 1, dtype=self.dtype,
+        return ConvBNAct(self.nm, 1, 1, act=self.act, dtype=self.dtype,
                          name="cv3")(x, train=train)
 
 

@@ -68,6 +68,7 @@ class SegmentHead(nn.Module):
     na: int
     nm: int = 32
     npr: int = 256
+    act: Any = True
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
@@ -80,7 +81,7 @@ class SegmentHead(nn.Module):
                         name=f"m{i}")(x.astype(jnp.float32))
             n, ny, nx, _ = y.shape
             outs.append(y.reshape(n, ny, nx, self.na, no))
-        proto = Proto(npr=self.npr, nm=self.nm,
+        proto = Proto(npr=self.npr, nm=self.nm, act=self.act,
                       name="proto")(xs[0], train=train)
         return outs, proto
 
@@ -109,6 +110,9 @@ class DetectionModel(nn.Module):
         # depth/width compound scaling (reference parse_model, yolo.py:311-318)
         gd = float(spec.get("depth_multiple", 1.0))
         gw = float(spec.get("width_multiple", 1.0))
+        # spec-level activation override (reference yolo.py:302-305 rebinds
+        # Conv.default_act from the YAML `activation:` key); True = SiLU
+        act = spec.get("activation") or True
 
         def ch(c):
             return c if gw == 1.0 else make_divisible(c * gw, 8)
@@ -126,14 +130,14 @@ class DetectionModel(nn.Module):
                 p = args[3] if len(args) > 3 else None
                 y = inp
                 for r in range(num):
-                    y = ConvBNAct(c2, k, s, p=p, dtype=self.dtype,
+                    y = ConvBNAct(c2, k, s, p=p, act=act, dtype=self.dtype,
                                   name=f"l{i}_{r}" if num > 1
                                   else f"l{i}")(y, train=train)
             elif mod == "Bottleneck":
                 shortcut = args[1] if len(args) > 1 else True
                 y = inp
                 for r in range(num):
-                    y = Bottleneck(ch(args[0]), shortcut, dtype=self.dtype,
+                    y = Bottleneck(ch(args[0]), shortcut, act=act, dtype=self.dtype,
                                    name=f"l{i}_{r}" if num > 1
                                    else f"l{i}")(y, train=train)
             elif mod in ("C3", "BottleneckCSP"):
@@ -141,18 +145,19 @@ class DetectionModel(nn.Module):
                 # count (reference parse_model: args.insert(2, n); n = 1)
                 shortcut = args[1] if len(args) > 1 else True
                 cls = C3 if mod == "C3" else BottleneckCSP
-                y = cls(ch(args[0]), n=num, shortcut=shortcut,
+                y = cls(ch(args[0]), n=num, shortcut=shortcut, act=act,
                         dtype=self.dtype, name=f"l{i}")(inp, train=train)
             elif mod == "SPP":
                 y = SPP(ch(args[0]), k=tuple(args[1]) if len(args) > 1
-                        else (5, 9, 13), dtype=self.dtype,
+                        else (5, 9, 13), act=act, dtype=self.dtype,
                         name=f"l{i}")(inp, train=train)
             elif mod == "SPPF":
                 y = SPPF(ch(args[0]), k=args[1] if len(args) > 1 else 5,
-                         dtype=self.dtype, name=f"l{i}")(inp, train=train)
+                         act=act, dtype=self.dtype,
+                         name=f"l{i}")(inp, train=train)
             elif mod == "Focus":
                 y = Focus(ch(args[0]), k=args[1] if len(args) > 1 else 1,
-                          s=args[2] if len(args) > 2 else 1,
+                          s=args[2] if len(args) > 2 else 1, act=act,
                           dtype=self.dtype, name=f"l{i}")(inp, train=train)
             elif mod == "Upsample":
                 y = upsample_nearest_2x(inp)
@@ -172,7 +177,7 @@ class DetectionModel(nn.Module):
             elif mod == "Segment":
                 nm = args[2] if len(args) > 2 else 32
                 npr = args[3] if len(args) > 3 else 256
-                y = SegmentHead(nc=nc, na=na, nm=nm, npr=ch(npr),
+                y = SegmentHead(nc=nc, na=na, nm=nm, npr=ch(npr), act=act,
                                 name=f"l{i}")(inp, train=train)
             else:
                 raise ValueError(f"Unknown module {mod}")

@@ -152,6 +152,28 @@ _MODULE_ALIASES = {
 }
 
 
+# ultralytics `activation:` YAML spellings (torch module exprs,
+# reference yolo.py:302-305 eval()s these) -> activation registry names
+_ACT_ALIASES = {
+    "nn.silu": "silu", "silu": "silu",
+    "nn.leakyrelu": "leaky_relu", "leakyrelu": "leaky_relu",
+    "nn.hardswish": "hardswish", "hardswish": "hardswish",
+    "nn.relu": "relu", "relu": "relu",
+    "nn.relu6": "relu6", "relu6": "relu6",
+    "nn.mish": "mish", "mish": "mish",
+    "nn.identity": "identity", "identity": "identity",
+    "frelu": "frelu", "aconc": "aconc", "metaaconc": "meta_aconc",
+    "meta_aconc": "meta_aconc",
+}
+
+
+def _normalize_activation(act):
+    if not act or not isinstance(act, str):
+        return act
+    base = act.split("(", 1)[0].strip().lower()
+    return _ACT_ALIASES.get(base, act)
+
+
 def _normalize(spec: Dict[str, Any]) -> Dict[str, Any]:
     out = dict(spec)
     for part in ("backbone", "head"):
@@ -160,6 +182,8 @@ def _normalize(spec: Dict[str, Any]) -> Dict[str, Any]:
             rows.append([frm, num, _MODULE_ALIASES.get(str(mod), str(mod)),
                          list(args)])
         out[part] = rows
+    if "activation" in out:
+        out["activation"] = _normalize_activation(out["activation"])
     return out
 
 
