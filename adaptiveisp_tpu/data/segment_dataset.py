@@ -75,6 +75,22 @@ class SegmentDataset:
     def __len__(self):
         return len(self.im_files)
 
+    @property
+    def labels(self):
+        """Per-file [n,5] (cls, xywhn) rows from the polygon bounds — the
+        DetectorDataset.labels surface, used by plot_labels (reference
+        utils/segment/dataloaders.py keeps the same dual representation)."""
+        out = []
+        for inst in self.instances:
+            rows = []
+            for cls, poly in inst:
+                x1, x2 = float(poly[:, 0].min()), float(poly[:, 0].max())
+                y1, y2 = float(poly[:, 1].min()), float(poly[:, 1].max())
+                rows.append([cls, (x1 + x2) / 2, (y1 + y2) / 2,
+                             x2 - x1, y2 - y1])
+            out.append(np.asarray(rows, np.float32).reshape(-1, 5))
+        return out
+
     def __getitem__(self, i: int):
         """Returns (img [s,s,3], targets [n,5] (cls,xywhn), masks
         [n, s/r, s/r])."""

@@ -12,6 +12,7 @@ bilinear upsample to the network input size -> threshold 0.5.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
@@ -411,16 +412,40 @@ def _segment_trainer_cls():
 
         def __init__(self, model, variables, spec, train_ds, val_ds=None,
                      cfg=None, hyp=None, save_dir=None, nm: int = 32,
-                     mesh=None):
+                     mesh=None, plots: bool = False, names=None):
             self.nm = nm
             super().__init__(model, variables, spec, train_ds, val_ds,
                              cfg=cfg, hyp=hyp, save_dir=save_dir,
-                             mesh=mesh)
+                             mesh=mesh, plots=plots, names=names)
 
         def _build_step(self):
             return make_segment_train_step(
                 self.model, anchors_in_grid_units(self.spec), self.hyp,
                 self.tx, ema_decay=self.cfg.ema_decay)
+
+        def _plot_train_batch(self, bi, images, targets, tmask, *extra):
+            """train_batch mosaics with mask overlays (reference
+            utils/segment/plots.py plot_images_and_masks)."""
+            import numpy as np
+
+            from adaptiveisp_tpu.obs.plots import plot_images_and_masks
+
+            rows = []
+            for i in range(images.shape[0]):
+                for t in np.asarray(targets[i])[np.asarray(tmask[i])]:
+                    rows.append([i, t[0], t[1], t[2], t[3], t[4]])
+            gt_masks = extra[0] if extra else np.zeros(
+                (images.shape[0], 0, 1, 1), np.float32)
+            plot_images_and_masks(
+                images, np.asarray(rows, np.float32), gt_masks,
+                tmask=np.asarray(tmask),
+                fname=os.path.join(self.save_dir, f"train_batch{bi}.jpg"),
+                names=self.names)
+
+        def _plot_final_val(self):
+            # box+mask validation has no curve plotter yet; the per-epoch
+            # results.csv/results.png and mask mosaics are the artifacts
+            pass
 
         def _validate(self):
             metrics = {"box": {"map50": 0.0, "map": 0.0},

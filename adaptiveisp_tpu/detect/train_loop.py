@@ -275,7 +275,7 @@ class DetectorTrainer:
             x, (x.shape[0], size, size, x.shape[3]), method="bilinear")
         return np.asarray(x)
 
-    def _plot_train_batch(self, bi: int, images, targets, tmask):
+    def _plot_train_batch(self, bi: int, images, targets, tmask, *extra):
         """train_batch{0,1,2}.jpg mosaics with drawn boxes
         (reference train.py on_train_batch_end -> plots.py:115)."""
         from adaptiveisp_tpu.obs.plots import plot_images
@@ -299,9 +299,8 @@ class DetectorTrainer:
     def train_epoch(self, epoch: int) -> float:
         losses = []
         for bi, (images, *rest) in enumerate(self.train_ds.epoch_batches()):
-            if self.plots and epoch == 0 and bi < 3 \
-                    and self._batch_arity == 3:
-                self._plot_train_batch(bi, images, rest[0], rest[1])
+            if self.plots and epoch == 0 and bi < 3:
+                self._plot_train_batch(bi, images, *rest)
             images = self._maybe_rescale(images)
             batch = tuple(jnp.asarray(a) for a in (images, *rest))
             if self.mesh is not None:
@@ -360,12 +359,16 @@ class DetectorTrainer:
 
             plot_results(os.path.join(self.save_dir, "results.csv"))
             if self.val_ds is not None:
-                # final-epoch curve/confusion plots from the EMA weights
-                validate_detector(
-                    self.model, self._ema_variables(), self.val_ds,
-                    self.spec, max_batches=self.val_batches, plots=True,
-                    save_dir=self.save_dir, names=self.names)
+                self._plot_final_val()
         return self.history
+
+    def _plot_final_val(self):
+        """Final-epoch curve/confusion plots from the EMA weights
+        (subclass hook; the segmentation fork validates its own way)."""
+        validate_detector(
+            self.model, self._ema_variables(), self.val_ds,
+            self.spec, max_batches=self.val_batches, plots=True,
+            save_dir=self.save_dir, names=self.names)
 
     def _append_csv(self, log: EpochLog):
         """Per-epoch results.csv (the reference Loggers' csv sink,

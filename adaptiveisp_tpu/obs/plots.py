@@ -106,6 +106,65 @@ def plot_images(images, targets, paths: Optional[Sequence[str]] = None,
     return fname
 
 
+def overlay_masks(images, masks, classes=None, tmask=None,
+                  alpha: float = 0.4) -> np.ndarray:
+    """Alpha-blend per-instance masks into a batch of images.
+
+    images [N,H,W,3] float [0,1] or uint8; masks [N,T,mh,mw] padded
+    per-instance binary masks (any mh|mw — nearest-upsampled to H,W, the
+    mask_ratio convention of the segment dataset); classes [N,T] int for
+    per-class colors (instance index used when absent); tmask [N,T] bool
+    validity.  Returns a blended uint8 copy.  Reference:
+    utils/segment/plots.py plot_images_and_masks (:9-70).
+    """
+    im = _to_uint8(images).copy()
+    masks = np.asarray(masks)
+    n, h, w = im.shape[:3]
+    if masks.size == 0:
+        return im
+    mh, mw = masks.shape[2:]
+    yi = (np.arange(h) * mh) // h
+    xi = (np.arange(w) * mw) // w
+    for i in range(n):
+        for t in range(masks.shape[1]):
+            if tmask is not None and not tmask[i][t]:
+                continue
+            m = masks[i, t][np.ix_(yi, xi)] > 0.5
+            if not m.any():
+                continue
+            cls = int(classes[i][t]) if classes is not None else t
+            color = np.asarray(class_color(cls), np.float32)
+            im[i][m] = (im[i][m] * (1 - alpha)
+                        + color * alpha).astype(np.uint8)
+    return im
+
+
+def plot_images_and_masks(images, targets, masks, tmask=None,
+                          paths=None, fname: str = "images.jpg",
+                          names=None, max_subplots: int = 16) -> str:
+    """plot_images with instance masks blended in (the segmentation fork's
+    train-batch mosaic, reference utils/segment/plots.py:9-70).
+
+    targets: flat [n, >=6] rows (img_idx, cls, xywhn, ...); masks
+    [N,T,mh,mw] aligned with each image's target order; tmask [N,T] marks
+    valid instances.
+    """
+    targets = np.asarray(targets, np.float32)
+    if targets.size == 0:
+        targets = targets.reshape(0, 6)
+    # per-image class vectors in target order, for mask colors
+    n = np.asarray(images).shape[0]
+    classes = []
+    for i in range(n):
+        cls_i = targets[targets[:, 0] == i][:, 1].astype(int)
+        t_cap = np.asarray(masks).shape[1] if np.asarray(masks).size else 0
+        cls_i = list(cls_i[:t_cap]) + [0] * max(0, t_cap - len(cls_i))
+        classes.append(cls_i)
+    blended = overlay_masks(images, masks, classes=classes, tmask=tmask)
+    return plot_images(blended, targets, paths=paths, fname=fname,
+                       names=names, max_subplots=max_subplots)
+
+
 def plot_labels(labels: np.ndarray, names=(), save_dir: str = ".") -> str:
     """Label-distribution panel: class histogram, box-overlay plot, x/y and
     w/h 2-D histograms (reference plot_labels, plots.py:272-310, minus the

@@ -171,3 +171,50 @@ def test_validate_detector_plots_and_confusion(tmp_path):
     assert "confusion_matrix" in out
     assert out["confusion_matrix"].shape == (3, 3)
     assert os.path.exists(str(tmp_path / "plots" / "confusion_matrix.png"))
+
+
+def test_overlay_masks_blends_colors():
+    from adaptiveisp_tpu.obs.plots import overlay_masks
+
+    images = np.zeros((1, 32, 32, 3), np.float32)
+    masks = np.zeros((1, 2, 16, 16), np.float32)  # half-res (mask_ratio 2)
+    masks[0, 0, :8, :8] = 1.0
+    masks[0, 1, 8:, 8:] = 1.0
+    out = overlay_masks(images, masks, classes=[[0, 1]],
+                        tmask=[[True, True]])
+    assert out.dtype == np.uint8 and out.shape == (1, 32, 32, 3)
+    assert out[0, :16, :16].sum() > 0      # first instance painted
+    assert out[0, 16:, 16:].sum() > 0      # second instance painted
+    assert out[0, :16, 16:].sum() == 0     # untouched region stays black
+    # invalid instances are skipped
+    out2 = overlay_masks(images, masks, classes=[[0, 1]],
+                         tmask=[[True, False]])
+    assert out2[0, 16:, 16:].sum() == 0
+
+
+def test_plot_images_and_masks(tmp_path):
+    from adaptiveisp_tpu.obs.plots import plot_images_and_masks
+
+    images = RNG.rand(2, 64, 64, 3).astype(np.float32)
+    targets = np.array([
+        [0, 1, 0.25, 0.25, 0.4, 0.4],
+        [1, 0, 0.6, 0.6, 0.3, 0.3],
+    ], np.float32)
+    masks = np.zeros((2, 1, 32, 32), np.float32)
+    masks[0, 0, :16, :16] = 1.0
+    masks[1, 0, 16:, 16:] = 1.0
+    f = str(tmp_path / "seg_batch.jpg")
+    assert plot_images_and_masks(
+        images, targets, masks, tmask=[[True], [True]], fname=f,
+        names=["a", "b"]) == f
+    assert _file_ok(f)
+
+
+def test_plot_images_and_masks_empty(tmp_path):
+    from adaptiveisp_tpu.obs.plots import plot_images_and_masks
+
+    images = RNG.rand(1, 32, 32, 3).astype(np.float32)
+    f = str(tmp_path / "empty.jpg")
+    plot_images_and_masks(images, np.zeros((0, 6), np.float32),
+                          np.zeros((1, 0, 16, 16), np.float32), fname=f)
+    assert _file_ok(f)

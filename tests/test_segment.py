@@ -244,9 +244,12 @@ def test_segment_trainer_end_to_end(polygon_dataset, tmp_path):
     cfg = DetTrainConfig(epochs=3, batch_size=4, lr0=0.01,
                          warmup_epochs=1.0)
     tr = SegmentTrainer(model, variables, spec, ds, val, cfg=cfg,
-                        save_dir=str(tmp_path), nm=8)
+                        save_dir=str(tmp_path), nm=8, plots=True,
+                        names=["blob"])
     history = tr.fit()
     assert len(history) == 3
+    # mask-overlay train mosaics written (reference utils/segment/plots.py)
+    assert (tmp_path / "train_batch0.jpg").exists()
     losses = [h.loss for h in history]
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
