@@ -181,8 +181,14 @@ class Detector:
     def __post_init__(self):
         from adaptiveisp_tpu.detect.model import decode_predictions
 
-        self._fwd = jax.jit(lambda v, x: decode_predictions(
-            self.model.apply(v, x, train=False), self.spec))
+        if hasattr(self.model, "apply_decoded"):
+            # DetectorEnsemble: members decode per-spec inside one jit and
+            # concatenate candidates (reference experimental.py:64-69)
+            self._fwd = jax.jit(
+                lambda v, x: self.model.apply_decoded(v, x))
+        else:
+            self._fwd = jax.jit(lambda v, x: decode_predictions(
+                self.model.apply(v, x, train=False), self.spec))
         if self.names is None:
             from adaptiveisp_tpu.data.dataset_config import COCO_NAMES
 
@@ -261,10 +267,39 @@ def load_adaptive_isp(agent_ckpt: Optional[str] = None,
     return AdaptiveISP(cfg, agent, variables, steps=steps)
 
 
-def load_detector(weights: Optional[str] = None, spec=None,
-                  nc: Optional[int] = None, seed: int = 0) -> Detector:
+def load_detector(weights=None, spec=None, nc: Optional[int] = None,
+                  seed: int = 0, names=None) -> Detector:
+    """Build a :class:`Detector` from weights.
+
+    Mirrors the reference's ``attempt_load`` list behaviour
+    (/root/reference/yolov3/models/experimental.py:73-111): a list of
+    weight paths produces an NMS ensemble whose candidates are merged
+    before a single NMS.  ``spec`` may then be a matching list (one spec
+    per member) or a single spec shared by all members.
+    """
     from adaptiveisp_tpu.detect.model import create_detector
 
+    if isinstance(weights, (list, tuple)) and len(weights) > 1:
+        from adaptiveisp_tpu.detect.ensemble import DetectorEnsemble
+        from train_isp import load_yolo_variables
+
+        specs = (list(spec) if isinstance(spec, (list, tuple))
+                 else [spec] * len(weights))
+        if len(specs) != len(weights):
+            raise ValueError(
+                f"{len(weights)} weights but {len(specs)} specs")
+        members, var_list = [], []
+        for w, s in zip(weights, specs):
+            model, variables = create_detector(
+                jax.random.PRNGKey(seed), spec=s, nc=nc, imgsz=256)
+            loaded = load_yolo_variables(w) if w else None
+            members.append((model, s))
+            var_list.append(loaded if loaded is not None else variables)
+        ens = DetectorEnsemble(members)
+        return Detector(ens, tuple(var_list), spec=specs[0], names=names)
+
+    if isinstance(weights, (list, tuple)):
+        weights = weights[0] if weights else None
     model, variables = create_detector(
         jax.random.PRNGKey(seed), spec=spec, nc=nc, imgsz=256)
     if weights:
@@ -273,7 +308,7 @@ def load_detector(weights: Optional[str] = None, spec=None,
         loaded = load_yolo_variables(weights)
         if loaded is not None:
             variables = loaded
-    return Detector(model, variables, spec=spec)
+    return Detector(model, variables, spec=spec, names=names)
 
 
 def load_value(cfg: Config = DEFAULT_CONFIG, imgsz: int = 512, seed: int = 0):

@@ -327,9 +327,53 @@ class DetectorTrainer:
             "ema": jax.device_get(self.state.ema.params),
             "updates": int(jax.device_get(self.state.ema.updates)),
             "fitness": fit,
+            # full optimizer + step so --resume restores training exactly
+            # (the reference's last.pt carries the optimizer;
+            # smart_resume, torch_utils.py:361-378)
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": int(jax.device_get(self.state.step)),
         }
         with open(os.path.join(self.save_dir, name), "wb") as f:
             pickle.dump(payload, f)
+
+    def resume(self, path: str) -> int:
+        """Restore params / batch_stats / optimizer / EMA / epoch from a
+        ``last.pkl`` checkpoint (the reference's ``smart_resume``,
+        torch_utils.py:361-378) and return the epoch to continue from.
+
+        Checkpoints written before optimizer state was recorded fall back
+        to a weights-only resume (optimizer restarts, weights keep going).
+        """
+        from adaptiveisp_tpu.detect.train_detector import (DetTrainState,
+                                                           EMAState)
+
+        ckpt = load_detector_checkpoint(path)
+        to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        params = to_dev(ckpt["model"]["params"])
+        opt_state = (to_dev(ckpt["opt_state"]) if "opt_state" in ckpt
+                     else self.tx.init(params))
+        state = DetTrainState(
+            params=params,
+            batch_stats=to_dev(ckpt["model"]["batch_stats"]),
+            opt_state=opt_state,
+            ema=EMAState(to_dev(ckpt["ema"]),
+                         jnp.asarray(ckpt["updates"], jnp.int32)),
+            step=jnp.asarray(ckpt.get("step", 0), jnp.int32),
+        )
+        if self.mesh is not None:
+            from adaptiveisp_tpu.train import mesh as mesh_lib
+
+            state = mesh_lib.replicate(self.mesh, state)
+        self.state = state
+        self.best_fitness = float(ckpt.get("best_fitness", 0.0))
+        start_epoch = int(ckpt.get("epoch", -1)) + 1
+        # keep the early-stop window consistent with the restored run
+        self.stopper.best_fitness = self.best_fitness
+        self.stopper.best_epoch = int(ckpt.get("epoch", 0))
+        self.start_epoch = start_epoch
+        return start_epoch
+
+    start_epoch = 0
 
     def fit(self, epochs: Optional[int] = None) -> List[EpochLog]:
         """The epoch loop: train -> val -> ckpt best/last -> early stop
@@ -337,7 +381,7 @@ class DetectorTrainer:
         epochs = epochs or self.cfg.epochs
         if self.plots:
             self._plot_labels()
-        for epoch in range(epochs):
+        for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
             loss = self.train_epoch(epoch)
             metrics, fit = self._validate()
@@ -432,6 +476,9 @@ def main(argv: Optional[Sequence[str]] = None):
                         "confusion matrix")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel over the first N devices")
+    p.add_argument("--resume", default=None,
+                   help="last.pkl checkpoint to continue from (restores "
+                        "optimizer / EMA / epoch, reference smart_resume)")
     args = p.parse_args(argv)
 
     from adaptiveisp_tpu.detect.model import create_detector
@@ -504,6 +551,20 @@ def main(argv: Optional[Sequence[str]] = None):
         return res
 
     trainer = build_trainer(hyp_dict, args.save_dir)
+    if args.save_dir:
+        # run provenance: opt.yaml + hyp.yaml next to the checkpoints
+        # (reference train.py:104-107), consumed by tools/resume_all.py
+        import yaml
+
+        os.makedirs(args.save_dir, exist_ok=True)
+        with open(os.path.join(args.save_dir, "opt.yaml"), "w") as f:
+            yaml.safe_dump(vars(args), f, sort_keys=False)
+        with open(os.path.join(args.save_dir, "hyp.yaml"), "w") as f:
+            yaml.safe_dump(hyp_dict, f, sort_keys=False)
+    if args.resume:
+        start = trainer.resume(args.resume)
+        print(f"resumed from {args.resume} at epoch {start} "
+              f"(best fitness {trainer.best_fitness:.4f})")
     history = trainer.fit()
     for log in history:
         print(f"epoch {log.epoch}: loss {log.loss:.4f} lr {log.lr:.5f} "

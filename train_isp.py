@@ -95,6 +95,15 @@ def load_yolo_variables(path):
     import jax.numpy as jnp
     import jax
 
+    if path and not os.path.isfile(path):
+        # search the artifact roots (reference attempt_download's local
+        # resolution, downloads.py:83-127 — no network probing here)
+        try:
+            from adaptiveisp_tpu.data.artifacts import resolve_artifact
+
+            path = resolve_artifact(path, download=False)
+        except FileNotFoundError:
+            pass
     if path and os.path.isfile(path):
         if path.endswith((".pkl", ".pickle")):
             with open(path, "rb") as f:
