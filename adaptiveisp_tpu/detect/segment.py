@@ -237,6 +237,12 @@ def per_image_seg_loss(preds, proto, targets, tmask, gt_masks,
     from adaptiveisp_tpu.detect.loss import per_image_loss
 
     nc = preds[0].shape[-1] - 5 - proto.shape[-1]
+    if tuple(gt_masks.shape[-2:]) != tuple(proto.shape[:2]):
+        raise ValueError(
+            f"gt masks {tuple(gt_masks.shape[-2:])} are not at the "
+            f"prototype resolution {tuple(proto.shape[:2])} — set the "
+            f"dataset's mask_ratio to imgsz/{proto.shape[0]} "
+            f"(proto = first detect level upsampled 2x)")
     # detection terms see only the 5+nc channels (cls BCE must not span
     # the mask coefficients)
     total, comps = per_image_loss(
@@ -564,5 +570,135 @@ def main(argv=None):
                                                safe + "_seg.png"))
 
 
+def train_main(argv=None):
+    """``python -m adaptiveisp_tpu.detect.segment train`` — the standalone
+    segmentation trainer CLI (reference segment/train.py:473-530 surface):
+    hyp-YAML loading, plots, resume, DP mesh, or ``--validate-only`` for
+    the standalone box+mask val (reference segment/val.py)."""
+    import argparse
+    import os
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True,
+                   help="train images: dir, .txt list, or glob "
+                        "(labels = polygon .txt, reference format)")
+    p.add_argument("--val-data", default=None)
+    p.add_argument("--spec", default="yolov3-tiny",
+                   help="base detection spec; the -seg head is derived")
+    p.add_argument("--nm", type=int, default=32)
+    p.add_argument("--npr", type=int, default=256)
+    p.add_argument("--imgsz", type=int, default=320)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--hyp", default=None,
+                   help="hyperparameter YAML (defaults = hyp.scratch-low)")
+    p.add_argument("--lr0", type=float, default=None)
+    p.add_argument("--patience", type=int, default=100)
+    p.add_argument("--mask-ratio", type=int, default=4)
+    p.add_argument("--nc", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save-dir", default="runs/train-seg")
+    p.add_argument("--plots", action="store_true")
+    p.add_argument("--dp", type=int, default=0)
+    p.add_argument("--resume", default=None,
+                   help="last.pkl to continue from (optimizer/EMA/epoch)")
+    p.add_argument("--weights", default=None,
+                   help="with --validate-only: checkpoint to evaluate")
+    p.add_argument("--validate-only", action="store_true",
+                   help="box+mask mAP over --data, no training "
+                        "(reference segment/val.py)")
+    args = p.parse_args(argv)
+
+    from adaptiveisp_tpu.data.segment_dataset import SegmentDataset
+    from adaptiveisp_tpu.detect.hyp import load_hyp, split_hyp
+    from adaptiveisp_tpu.detect.model import create_detector
+    from adaptiveisp_tpu.detect.spec import (
+        YOLOV3_SPEC, YOLOV3_TINY_SPEC, YOLOV5S_SPEC, load_spec)
+
+    base = {"yolov3": YOLOV3_SPEC, "yolov3-tiny": YOLOV3_TINY_SPEC,
+            "yolov5s": YOLOV5S_SPEC}.get(args.spec) or load_spec(args.spec)
+    if args.nc is not None:
+        base = dict(base, nc=args.nc)
+    spec = seg_spec_from(base, nm=args.nm, npr=args.npr)
+
+    hyp_dict = load_hyp(args.hyp)
+    if args.lr0 is not None:
+        hyp_dict["lr0"] = args.lr0
+    cfg, loss_hyp, aug_hyp = split_hyp(
+        hyp_dict, nl=len(spec["anchors"]), nc=spec["nc"],
+        imgsz=args.imgsz, epochs=args.epochs,
+        batch_size=args.batch_size, patience=args.patience)
+
+    model, variables = create_detector(
+        jax.random.PRNGKey(args.seed), spec=spec, imgsz=args.imgsz)
+
+    if args.validate_only:
+        if args.weights:
+            import pickle
+
+            with open(args.weights, "rb") as f:
+                ckpt = pickle.load(f)
+            variables = (ckpt["model"] if isinstance(ckpt, dict)
+                         and "model" in ckpt else ckpt)
+        ds = SegmentDataset(args.data, img_size=args.imgsz,
+                            batch_size=args.batch_size, augment=False,
+                            mask_ratio=args.mask_ratio)
+        metrics = validate_segmenter(model, variables, ds, spec,
+                                     nm=args.nm)
+        print(f"box mAP50 {metrics['box']['map50']:.4f} "
+              f"mAP {metrics['box']['map']:.4f} | "
+              f"mask mAP50 {metrics['mask']['map50']:.4f} "
+              f"mAP {metrics['mask']['map']:.4f}")
+        return metrics
+
+    train_ds = SegmentDataset(
+        args.data, img_size=args.imgsz, batch_size=args.batch_size,
+        augment=True, mask_ratio=args.mask_ratio,
+        fliplr=aug_hyp.fliplr, copy_paste=aug_hyp.copy_paste,
+        seed=args.seed)
+    val_ds = None
+    if args.val_data:
+        val_ds = SegmentDataset(args.val_data, img_size=args.imgsz,
+                                batch_size=args.batch_size, augment=False,
+                                mask_ratio=args.mask_ratio)
+
+    mesh = None
+    if args.dp:
+        from adaptiveisp_tpu.train.mesh import make_mesh
+
+        mesh = make_mesh(args.dp)
+
+    trainer = SegmentTrainer(model, variables, spec, train_ds, val_ds,
+                             cfg=cfg, hyp=loss_hyp,
+                             save_dir=args.save_dir, nm=args.nm,
+                             mesh=mesh, plots=args.plots)
+    if args.save_dir:
+        import yaml
+
+        os.makedirs(args.save_dir, exist_ok=True)
+        with open(os.path.join(args.save_dir, "opt.yaml"), "w") as f:
+            yaml.safe_dump(vars(args), f, sort_keys=False)
+        with open(os.path.join(args.save_dir, "hyp.yaml"), "w") as f:
+            yaml.safe_dump(hyp_dict, f, sort_keys=False)
+    if args.resume:
+        start = trainer.resume(args.resume)
+        print(f"resumed from {args.resume} at epoch {start}")
+    history = trainer.fit()
+    for log in history:
+        print(f"epoch {log.epoch}: loss {log.loss:.4f} "
+              f"fitness {log.fitness:.4f} ({log.seconds:.1f}s)")
+    print(f"best fitness {trainer.best_fitness:.4f} -> "
+          f"{args.save_dir}/best.pkl")
+    return history
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    _argv = _sys.argv[1:]
+    if _argv and _argv[0] == "train":
+        train_main(_argv[1:])
+    elif _argv and _argv[0] == "predict":
+        main(_argv[1:])
+    else:
+        main(_argv)
