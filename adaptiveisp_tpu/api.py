@@ -177,6 +177,7 @@ class Detector:
     variables: Any
     spec: Any = None
     names: Any = None
+    augment: bool = False  # TTA (reference hubconf autoshape augment flag)
 
     def __post_init__(self):
         from adaptiveisp_tpu.detect.model import decode_predictions
@@ -186,6 +187,12 @@ class Detector:
             # concatenate candidates (reference experimental.py:64-69)
             self._fwd = jax.jit(
                 lambda v, x: self.model.apply_decoded(v, x))
+        elif self.augment:
+            from adaptiveisp_tpu.detect.tta import forward_augment
+
+            self._fwd = jax.jit(lambda v, x: forward_augment(
+                lambda xi: self.model.apply(v, xi, train=False), x,
+                self.spec))
         else:
             self._fwd = jax.jit(lambda v, x: decode_predictions(
                 self.model.apply(v, x, train=False), self.spec))
@@ -268,7 +275,8 @@ def load_adaptive_isp(agent_ckpt: Optional[str] = None,
 
 
 def load_detector(weights=None, spec=None, nc: Optional[int] = None,
-                  seed: int = 0, names=None) -> Detector:
+                  seed: int = 0, names=None,
+                  augment: bool = False) -> Detector:
     """Build a :class:`Detector` from weights.
 
     Mirrors the reference's ``attempt_load`` list behaviour
@@ -308,7 +316,8 @@ def load_detector(weights=None, spec=None, nc: Optional[int] = None,
         loaded = load_yolo_variables(weights)
         if loaded is not None:
             variables = loaded
-    return Detector(model, variables, spec=spec, names=names)
+    return Detector(model, variables, spec=spec, names=names,
+                    augment=augment)
 
 
 def load_value(cfg: Config = DEFAULT_CONFIG, imgsz: int = 512, seed: int = 0):

@@ -45,7 +45,8 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                    noise_seed: int = 0, max_images: int = -1,
                    render: str = "auto", yolo_spec=None, mesh=None,
                    class_names=None, profile: bool = False,
-                   merge: bool = False, plots: bool = False) -> Dict:
+                   merge: bool = False, plots: bool = False,
+                   augment: bool = False) -> Dict:
     """Returns {'precision', 'recall', 'map50', 'map', 'speed', 'records'}.
 
     render="auto" picks the switch path (renders only the selected filter —
@@ -69,8 +70,16 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
 
     roll = jit_rollout(agent, steps=steps, record_steps=save_image,
                        render=render)
-    fwd = jax.jit(lambda v, x: decode_predictions(
-        yolo.apply(v, x, train=False), yolo_spec))
+    if augment:
+        # TTA: three scaled/flipped passes fused into the same program
+        # (reference val.py --augment -> yolo.py:205-252)
+        from adaptiveisp_tpu.detect.tta import forward_augment
+
+        fwd = jax.jit(lambda v, x: forward_augment(
+            lambda xi: yolo.apply(v, xi, train=False), x, yolo_spec))
+    else:
+        fwd = jax.jit(lambda v, x: decode_predictions(
+            yolo.apply(v, x, train=False), yolo_spec))
 
     # fused eval step: rollout + detector + decode + NMS in ONE compiled
     # call.  Through a remote/tunneled device every dispatch pays an RTT;

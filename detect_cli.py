@@ -29,6 +29,8 @@ def parse_args(argv=None):
     p.add_argument("--max_det", type=int, default=300)
     p.add_argument("--save_dir", type=str, default="runs/detect")
     p.add_argument("--save_txt", action="store_true")
+    p.add_argument("--augment", action="store_true",
+                   help="TTA inference (3 scales + lr flip, yolo.py:211)")
     return p.parse_args(argv)
 
 
@@ -75,8 +77,14 @@ def main(argv=None):
             return roll(agent_vars, img, noises, states,
                         no_pipeline(args.isp_steps)).image
 
-    fwd = jax.jit(lambda v, x: decode_predictions(
-        yolo.apply(v, x, train=False)))
+    if args.augment:
+        from adaptiveisp_tpu.detect.tta import forward_augment
+
+        fwd = jax.jit(lambda v, x: forward_augment(
+            lambda xi: yolo.apply(v, xi, train=False), x))
+    else:
+        fwd = jax.jit(lambda v, x: decode_predictions(
+            yolo.apply(v, x, train=False)))
     os.makedirs(args.save_dir, exist_ok=True)
 
     source = open_source(args.source, vid_stride=args.vid_stride,

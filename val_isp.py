@@ -37,6 +37,8 @@ def parse_args(argv=None):
                         "the pipelined steady-state loop")
     p.add_argument("--merge", action="store_true", default=False,
                    help="merge-NMS (weighted-box fusion, general.py:951)")
+    p.add_argument("--augment", action="store_true", default=False,
+                   help="TTA inference (3 scales + lr flip, yolo.py:211)")
     p.add_argument("--plots", action="store_true", default=False,
                    help="confusion matrix + PR/F1/P/R curve plots")
     p.add_argument("--save_json", action="store_true", default=False)
@@ -84,7 +86,8 @@ def main(argv=None):
         save_dir=save_dir, save_image=args.save_image,
         save_param=args.save_param, max_images=args.max_images,
         profile=args.profile, save_json=args.save_json,
-        anno_json=args.anno_json, merge=args.merge, plots=args.plots)
+        anno_json=args.anno_json, merge=args.merge, plots=args.plots,
+        augment=args.augment)
     print(f"{'Class':>22s}{'P':>11s}{'R':>11s}{'mAP50':>11s}{'mAP50-95':>11s}")
     print(f"{'all':>22s}{res['precision']:11.3g}{res['recall']:11.3g}"
           f"{res['map50']:11.3g}{res['map']:11.3g}")
