@@ -46,7 +46,9 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                    render: str = "auto", yolo_spec=None, mesh=None,
                    class_names=None, profile: bool = False,
                    merge: bool = False, plots: bool = False,
-                   augment: bool = False) -> Dict:
+                   augment: bool = False, save_txt: bool = False,
+                   save_conf: bool = False, save_hybrid: bool = False,
+                   single_cls: bool = False, max_labels: int = 128) -> Dict:
     """Returns {'precision', 'recall', 'map50', 'map', 'speed', 'records'}.
 
     render="auto" picks the switch path (renders only the selected filter —
@@ -86,12 +88,17 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
     # one call per batch instead of three cut steady-state eval from 282 to
     # ~RTT+compute ms/img.  profile=True keeps the three separate calls so
     # the reference's pre/inference/NMS attribution stays measurable.
-    def _eval(avars, yvars, im, noises, states, pipe):
+    def _eval(avars, yvars, im, noises, states, pipe, hyb=None):
         res = roll(avars, im, noises, states, pipe)
         preds = fwd(yvars, res.image)
+        if hyb is not None:
+            # autolabelling: ground-truth rows ride along as conf-1.0 NMS
+            # candidates (reference val.py:218-219 labels= path)
+            preds = jnp.concatenate([preds, hyb], axis=1)
         dets, nvalid = non_max_suppression(
             preds, conf_thres=conf_thres, iou_thres=iou_thres,
-            max_det=max_det, multi_label=True, merge=merge)
+            max_det=max_det, multi_label=True, merge=merge,
+            agnostic=single_cls)
         return res, dets, nvalid
 
     eval_fused = jax.jit(_eval)
@@ -115,13 +122,13 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
     stats = []
     records = []
     coco_records = []
+    det_nc = (yolo_spec["nc"] if yolo_spec is not None
+              else (len(class_names) if class_names else 80))
     confusion = None
     if plots:
         from adaptiveisp_tpu.detect.metrics import ConfusionMatrix
 
-        nc = (yolo_spec["nc"] if yolo_spec is not None
-              else (len(class_names) if class_names else 80))
-        confusion = ConfusionMatrix(nc=nc)
+        confusion = ConfusionMatrix(nc=det_nc)
     n_total = len(dataset) if max_images < 0 else min(max_images, len(dataset))
 
     # warm the jits so the speed report measures steady state, not compiles
@@ -132,15 +139,21 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
             get_noise(np.random.RandomState(0), batch_size, cfg.z_dim,
                       cfg.z_type) for _ in range(steps)]))
         wst = jnp.asarray(get_initial_states(batch_size, cfg.num_state_dim))
+        whyb = (jnp.zeros((batch_size, max_labels, 5 + det_nc))
+                if save_hybrid else None)
         if profile:
             wres = roll(agent_variables, wim, wno, wst, pipe_arr)
             wpred = fwd(yolo_variables, wres.image)
+            if whyb is not None:
+                wpred = jnp.concatenate([wpred, whyb], axis=1)
             jax.device_get(non_max_suppression(
                 wpred, conf_thres=conf_thres, iou_thres=iou_thres,
-                max_det=max_det, multi_label=True, merge=merge)[1])
+                max_det=max_det, multi_label=True, merge=merge,
+                agnostic=single_cls)[1])
         else:
             jax.device_get(eval_fused(
-                agent_variables, yolo_variables, wim, wno, wst, pipe_arr)[2])
+                agent_variables, yolo_variables, wim, wno, wst, pipe_arr,
+                whyb)[2])
 
     def _host_prep(idx):
         """Decode + collate + noise draws (runs on the producer thread)."""
@@ -149,11 +162,28 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
         noises = np.stack([get_noise(rng, nb, cfg.z_dim, cfg.z_type)
                            for _ in range(steps)])
         states = get_initial_states(nb, cfg.num_state_dim)
-        return batch, noises, states
+        hyb = None
+        if save_hybrid:
+            # padded [nb, L, 5+nc] GT candidate rows: xywh px, obj 1.0,
+            # one-hot class (reference val.py:218-219)
+            hgt, wdt = batch["im"].shape[1:3]
+            hyb = np.zeros((nb, max_labels, 5 + det_nc), np.float32)
+            for bi in range(nb):
+                lab = batch["label"][bi]
+                n = min(lab.shape[0], max_labels)
+                if n:
+                    hyb[bi, :n, 0:4] = lab[:n, 2:6] * np.array(
+                        [wdt, hgt, wdt, hgt], np.float32)
+                    hyb[bi, :n, 4] = 1.0
+                    cls = (np.zeros(n, int) if single_cls
+                           else lab[:n, 1].astype(int))
+                    hyb[bi, np.arange(n), 5 + cls] = 1.0
+        return batch, noises, states, hyb
 
     def dispatch(prepped):
         """Device transfer + ONE async eval dispatch (no fetch)."""
-        batch, noises_np, states_np = prepped
+        batch, noises_np, states_np, hyb_np = prepped
+        hyb = jnp.asarray(hyb_np) if hyb_np is not None else None
         with profiles["pre"]:
             im = jnp.asarray(batch["im"])
             nb = im.shape[0]
@@ -172,15 +202,18 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
             with profiles["inference"]:
                 res = roll(agent_variables, im, noises, states, pipe_arr)
                 preds = fwd(yolo_variables, res.image)
+                if hyb is not None:
+                    preds = jnp.concatenate([preds, hyb], axis=1)
             with profiles["nms"]:
                 dets, nvalid = non_max_suppression(
                     preds, conf_thres=conf_thres, iou_thres=iou_thres,
-                    max_det=max_det, multi_label=True, merge=merge)
+                    max_det=max_det, multi_label=True, merge=merge,
+                    agnostic=single_cls)
         else:
             with profiles["inference"]:
                 res, dets, nvalid = eval_fused(
                     agent_variables, yolo_variables, im, noises, states,
-                    pipe_arr)
+                    pipe_arr, hyb)
         # start the device->host copies now so they overlap the next
         # batch's compute; consume()'s device_get then returns from the
         # already-landed host buffers instead of paying a fresh round trip
@@ -244,6 +277,11 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
             det = dets[bi][:int(nvalid[bi])].copy()
             labels = batch["label"][bi]  # [n, 6] (idx, cls, xywhn)
             lab = labels[:, 1:].copy()
+            if single_cls:
+                # single-class evaluation (reference val.py:245)
+                det[:, 5] = 0.0
+                if lab.size:
+                    lab[:, 0] = 0.0
             if lab.size:
                 lab[:, 1:5] = np.asarray(
                     xywh2xyxy(jnp.asarray(lab[:, 1:5]
@@ -252,6 +290,23 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
             if det.shape[0]:
                 det[:, :4] = scale_boxes((h, w), det[:, :4], (h0, w0),
                                          ((rh, rw), pad))
+            if save_dir and save_txt:
+                # normalized `cls xc yc w h [conf]` label files
+                # (reference val.py save_one_txt, :50-56)
+                os.makedirs(os.path.join(save_dir, "labels"), exist_ok=True)
+                gn = np.array([w0, h0, w0, h0], np.float32)
+                xywh = np.concatenate(
+                    [(det[:, :2] + det[:, 2:4]) / 2,
+                     det[:, 2:4] - det[:, :2]], axis=1) / gn
+                lines = []
+                for ri in range(det.shape[0]):
+                    vals = [int(det[ri, 5])] + xywh[ri].tolist() + (
+                        [float(det[ri, 4])] if save_conf else [])
+                    lines.append(" ".join(f"{v:g}" for v in vals))
+                stem = os.path.splitext(os.path.split(path)[1])[0]
+                with open(os.path.join(save_dir, "labels",
+                                       stem + ".txt"), "w") as f:
+                    f.write("\n".join(lines) + ("\n" if lines else ""))
             if lab.size:
                 lab_px = lab.copy()
                 lab_px[:, 1:5] = scale_boxes((h, w), lab[:, 1:5], (h0, w0),

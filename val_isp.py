@@ -44,11 +44,27 @@ def parse_args(argv=None):
     p.add_argument("--save_json", action="store_true", default=False)
     p.add_argument("--anno_json", type=str, default=None,
                    help="COCO annotations for pycocotools rescoring")
+    p.add_argument("--save_txt", action="store_true", default=False,
+                   help="per-image normalized label txt files (val.py:50)")
+    p.add_argument("--save_conf", action="store_true", default=False,
+                   help="append confidences to --save_txt labels")
+    p.add_argument("--save_hybrid", action="store_true", default=False,
+                   help="label+prediction hybrid results (autolabelling; "
+                        "GT rides as conf-1.0 NMS candidates, val.py:218)")
+    p.add_argument("--single_cls", action="store_true", default=False,
+                   help="treat as a single-class dataset (agnostic NMS)")
+    p.add_argument("--task", type=str, default="val",
+                   choices=["val", "test", "speed", "study"],
+                   help="val/test = normal eval; speed = latency protocol "
+                        "(conf 0.25, IoU 0.45); study = imgsz sweep + "
+                        "speed-vs-mAP curve (reference val.py:388-406)")
+    p.add_argument("--study_sizes", type=int, nargs="*", default=None,
+                   help="image sizes for --task study (default "
+                        "256..1536 step 128, the reference sweep)")
     return p.parse_args(argv)
 
 
-def main(argv=None):
-    args = parse_args(argv)
+def run_at_size(args, imgsz):
     from train_isp import load_cfg, load_yolo_variables
 
     import jax
@@ -62,11 +78,11 @@ def main(argv=None):
 
     cfg = load_cfg(args.cfg)
     data = check_dataset(args.data)
-    ds = ISPDataset(data["val"], img_size=args.imgsz,
+    ds = ISPDataset(data["val"], img_size=imgsz,
                     source=data.get("source", "normalize"), train=False)
 
     agent, agent_vars = create_agent_state(
-        cfg, jax.random.PRNGKey(0), image_size=args.imgsz, batch=1)
+        cfg, jax.random.PRNGKey(0), image_size=imgsz, batch=1)
     if args.isp_weights:
         payload = ckpt_lib.load_weights_only(args.isp_weights)
         agent_vars = payload["agent_model"]
@@ -87,7 +103,9 @@ def main(argv=None):
         save_param=args.save_param, max_images=args.max_images,
         profile=args.profile, save_json=args.save_json,
         anno_json=args.anno_json, merge=args.merge, plots=args.plots,
-        augment=args.augment)
+        augment=args.augment, save_txt=args.save_txt,
+        save_conf=args.save_conf, save_hybrid=args.save_hybrid,
+        single_cls=args.single_cls)
     print(f"{'Class':>22s}{'P':>11s}{'R':>11s}{'mAP50':>11s}{'mAP50-95':>11s}")
     print(f"{'all':>22s}{res['precision']:11.3g}{res['recall']:11.3g}"
           f"{res['map50']:11.3g}{res['map']:11.3g}")
@@ -97,6 +115,48 @@ def main(argv=None):
     print(res["speed"])
     print(f"wall: {res['wall_ms_per_img']:.1f} ms/img")
     return res
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    args.save_txt |= args.save_hybrid  # reference val.py:370
+    if args.save_hybrid:
+        print("WARNING: --save_hybrid returns high mAP from hybrid labels, "
+              "not from predictions alone")
+
+    if args.task == "speed":
+        # latency protocol (reference val.py:389-393)
+        args.conf_thres, args.iou_thres = 0.25, 0.45
+        args.save_json = False
+        args.plots = False
+        return run_at_size(args, args.imgsz)
+
+    if args.task == "study":
+        # imgsz sweep -> study_{data}_{weights}.txt + speed-vs-mAP plot
+        # (reference val.py:395-406)
+        import numpy as np
+
+        from adaptiveisp_tpu.obs.plots import plot_val_study
+
+        sizes = args.study_sizes or list(range(256, 1536 + 128, 128))
+        rows = []
+        for sz in sizes:
+            print(f"\n--task study  imgsz={sz}")
+            r = run_at_size(args, sz)
+            t = r["wall_ms_per_img"]
+            rows.append([r["precision"], r["recall"], r["map50"], r["map"],
+                         0.0, t, 0.0, t])
+        stem_d = os.path.splitext(os.path.basename(str(args.data)))[0]
+        stem_w = os.path.splitext(os.path.basename(str(args.weights)))[0]
+        out_dir = os.path.join(args.project, args.name)
+        os.makedirs(out_dir, exist_ok=True)
+        fname = os.path.join(out_dir, f"study_{stem_d}_{stem_w}.txt")
+        np.savetxt(fname, np.asarray(rows, np.float64), fmt="%10.4g")
+        plot_val_study(out_dir)
+        print(f"study saved to {fname}")
+        return rows
+
+    return run_at_size(args, args.imgsz)
 
 
 if __name__ == "__main__":
