@@ -203,18 +203,22 @@ class Detector:
 
     def detect(self, images, conf_thres: float = 0.25,
                iou_thres: float = 0.45, max_det: int = 300,
-               multi_label: bool = False):
+               multi_label: bool = False, classes=None,
+               agnostic: bool = False):
         from adaptiveisp_tpu.detect.nms import non_max_suppression
 
         preds = self._fwd(self.variables, jnp.asarray(images, jnp.float32))
         return non_max_suppression(
             preds, conf_thres=conf_thres, iou_thres=iou_thres,
-            max_det=max_det, multi_label=multi_label)
+            max_det=max_det, multi_label=multi_label,
+            classes=(tuple(classes) if classes is not None else None),
+            agnostic=agnostic)
 
     # ------------------------------------------------------------------ #
     def __call__(self, sources, size: int = 512, conf_thres: float = 0.25,
                  iou_thres: float = 0.45, max_det: int = 300,
-                 multi_label: bool = False) -> Detections:
+                 multi_label: bool = False, classes=None,
+                 agnostic: bool = False) -> Detections:
         """AutoShape-style inference (reference common.py:623-705): accepts
         a path / numpy HWC image / PIL image or a list of them, handles
         letterboxing and coordinate restoration internally."""
@@ -246,7 +250,8 @@ class Detector:
             metas.append((im.shape[:2], (ratio, pad)))
         dets, nvalid = self.detect(
             np.stack(batch, 0), conf_thres=conf_thres, iou_thres=iou_thres,
-            max_det=max_det, multi_label=multi_label)
+            max_det=max_det, multi_label=multi_label, classes=classes,
+            agnostic=agnostic)
         dets = np.array(dets)
         nvalid = np.asarray(nvalid)
 

@@ -262,9 +262,12 @@ def decode_predictions(preds: Sequence[jnp.ndarray], spec=None):
     return jnp.concatenate(zs, axis=1)
 
 
-def create_detector(key, spec=None, nc: int | None = None, imgsz: int = 256):
+def create_detector(key, spec=None, nc: int | None = None, imgsz: int = 256,
+                    dtype=None):
+    """dtype=jnp.bfloat16 = the reference's --half inference mode (params
+    stay float32; conv compute runs MXU-native bf16)."""
     spec = spec or YOLOV3_SPEC
-    model = DetectionModel(spec=spec, nc=nc)
+    model = DetectionModel(spec=spec, nc=nc, dtype=dtype)
     x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
     variables = model.init({"params": key}, x, train=False)
     return model, variables

@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from adaptiveisp_tpu.detect.boxes import box_iou, xywh2xyxy
 
@@ -49,14 +50,21 @@ def _exact_top_k(scores, k: int):
 @functools.partial(
     jax.jit,
     static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms",
-                     "multi_label", "agnostic", "block", "nm", "merge"))
+                     "multi_label", "agnostic", "block", "nm", "merge",
+                     "classes"))
 def non_max_suppression(prediction, conf_thres: float = 0.25,
                         iou_thres: float = 0.45, max_det: int = 300,
                         max_nms: int = 4096, multi_label: bool = False,
                         agnostic: bool = False, block: int = 512,
-                        nm: int = 0, merge: bool = False):
+                        nm: int = 0, merge: bool = False,
+                        classes=None):
     """prediction: [N, n_boxes, 5+nc(+nm)] decoded (xywh, obj, cls-probs,
     and with nm > 0 the raw mask coefficients of a segmentation head).
+
+    ``classes`` (static tuple of class ids) keeps only those classes — the
+    reference's class filter (general.py:933-934), applied here by zeroing
+    the disallowed class confidences before candidate selection so top-k
+    slots are never wasted on filtered rows.
 
     Returns (detections [N, max_det, 6], n_valid [N]); with nm > 0 a third
     output carries each kept detection's mask coefficients
@@ -72,6 +80,10 @@ def non_max_suppression(prediction, conf_thres: float = 0.25,
         cand = obj > conf_thres
         box = xywh2xyxy(x[:, :4])
         cls_conf = x[:, 5:] * obj[:, None]  # conf = obj * cls
+        if classes is not None:
+            cmask = np.zeros((nc,), np.float32)
+            cmask[np.asarray(classes, int)] = 1.0
+            cls_conf = cls_conf * cmask[None, :]
 
         if multi_label and nc > 1:
             # every (box, class) pair is a candidate row; boxes/classes are

@@ -31,6 +31,12 @@ def parse_args(argv=None):
     p.add_argument("--save_txt", action="store_true")
     p.add_argument("--augment", action="store_true",
                    help="TTA inference (3 scales + lr flip, yolo.py:211)")
+    p.add_argument("--classes", type=int, nargs="*", default=None,
+                   help="filter detections by class id, e.g. --classes 0 2")
+    p.add_argument("--agnostic_nms", action="store_true",
+                   help="class-agnostic NMS")
+    p.add_argument("--half", action="store_true",
+                   help="bf16 detector inference (MXU-native)")
     return p.parse_args(argv)
 
 
@@ -50,7 +56,9 @@ def main(argv=None):
     from adaptiveisp_tpu.detect.nms import non_max_suppression
 
     cfg = Config()
-    yolo, yolo_vars = create_detector(jax.random.PRNGKey(0), imgsz=256)
+    yolo, yolo_vars = create_detector(
+        jax.random.PRNGKey(0), imgsz=256,
+        dtype=jnp.bfloat16 if args.half else None)
     loaded = load_yolo_variables(args.weights)
     if loaded is not None:
         yolo_vars = loaded
@@ -113,7 +121,9 @@ def _run_source(source, args, isp, fwd, yolo_vars):
         preds = fwd(yolo_vars, x)
         dets, nvalid = non_max_suppression(
             preds, conf_thres=args.conf_thres, iou_thres=args.iou_thres,
-            max_det=args.max_det, multi_label=False)
+            max_det=args.max_det, multi_label=False,
+            classes=(tuple(args.classes) if args.classes else None),
+            agnostic=args.agnostic_nms)
         det = np.array(dets[0][:int(nvalid[0])])  # copy: np view is read-only
         if det.shape[0]:
             det[:, :4] = scale_boxes((args.imgsz, args.imgsz), det[:, :4],

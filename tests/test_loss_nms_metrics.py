@@ -276,6 +276,26 @@ def test_nms_suppresses_overlaps_same_class_only():
     assert int(nvalid[0]) == 2  # one suppressed
 
 
+def test_nms_classes_filter():
+    """classes= keeps only the listed class ids (general.py:933-934)."""
+    pred = np.zeros((1, 4, 5 + 3), np.float32)
+    pred[0, 0] = [50, 50, 20, 20, 0.9, 0.9, 0.01, 0.01]   # cls 0
+    pred[0, 1] = [200, 200, 20, 20, 0.9, 0.01, 0.9, 0.01]  # cls 1
+    pred[0, 2] = [350, 200, 20, 20, 0.9, 0.01, 0.01, 0.9]  # cls 2
+    for cset, expect in [((0,), {0}), ((1, 2), {1, 2}), (None, {0, 1, 2})]:
+        out, nvalid = non_max_suppression(
+            jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45, max_det=8,
+            max_nms=8, multi_label=True, classes=cset)
+        got = {int(c) for c in np.asarray(out[0][:int(nvalid[0]), 5])}
+        assert got == expect, (cset, got)
+    # multi_label=False path too: argmax must not pick a filtered class
+    out, nvalid = non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45, max_det=8,
+        max_nms=8, multi_label=False, classes=(2,))
+    assert int(nvalid[0]) == 1
+    assert int(out[0][0, 5]) == 2
+
+
 # --------------------------------------------------------------------------- #
 # mAP machinery
 # --------------------------------------------------------------------------- #

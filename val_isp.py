@@ -53,6 +53,9 @@ def parse_args(argv=None):
                         "GT rides as conf-1.0 NMS candidates, val.py:218)")
     p.add_argument("--single_cls", action="store_true", default=False,
                    help="treat as a single-class dataset (agnostic NMS)")
+    p.add_argument("--half", action="store_true", default=False,
+                   help="bf16 detector inference (the TPU --half: params "
+                        "stay f32, conv compute runs MXU-native bf16)")
     p.add_argument("--task", type=str, default="val",
                    choices=["val", "test", "speed", "study"],
                    help="val/test = normal eval; speed = latency protocol "
@@ -87,7 +90,11 @@ def run_at_size(args, imgsz):
         payload = ckpt_lib.load_weights_only(args.isp_weights)
         agent_vars = payload["agent_model"]
 
-    yolo, yolo_vars = create_detector(jax.random.PRNGKey(1), imgsz=256)
+    import jax.numpy as jnp
+
+    yolo, yolo_vars = create_detector(
+        jax.random.PRNGKey(1), imgsz=256,
+        dtype=jnp.bfloat16 if args.half else None)
     loaded = load_yolo_variables(args.weights)
     if loaded is not None:
         yolo_vars = loaded
