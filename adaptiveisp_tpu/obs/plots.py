@@ -383,3 +383,56 @@ def plot_val_study(dir: str = ".", save_path: Optional[str] = None) -> str:
     fig.savefig(save_path, dpi=200)
     plt.close(fig)
     return save_path
+
+
+def feature_visualization(intermediates, save_dir: str, n: int = 32,
+                          max_stages: Optional[int] = None) -> list:
+    """Per-stage feature-map grids from flax ``capture_intermediates``
+    output (reference feature_visualization, plots.py:54-79).
+
+    ``intermediates`` is the ``state['intermediates']`` dict from
+    ``model.apply(..., capture_intermediates=True,
+    mutable=['intermediates'])``: top-level layer names map to
+    ``{'__call__': (output,)}``.  For every 4-D NHWC activation, the first
+    ``n`` channels of image 0 are tiled 8-wide and saved alongside the raw
+    ``.npy`` dump.  Detect/Segment heads (non-array outputs) are skipped.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(save_dir, exist_ok=True)
+    written = []
+    for stage, name in enumerate(sorted(
+            intermediates,
+            key=lambda k: (int(k[1:].split("_")[0])
+                           if k[1:].split("_")[0].isdigit() else 1 << 30))):
+        if max_stages is not None and len(written) >= max_stages:
+            break
+        sub = intermediates[name]
+        if not isinstance(sub, dict):  # the model's own '__call__' entry
+            continue
+        out = sub.get("__call__", (None,))[0]
+        if not hasattr(out, "ndim") or out.ndim != 4:
+            continue  # Detect/Segment heads return lists/tuples
+        x = np.asarray(out)
+        _, h, w, c = x.shape
+        if h <= 1 or w <= 1:
+            continue
+        k = min(n, c)
+        ncols = 8
+        nrows = int(math.ceil(k / ncols))
+        fig, ax = plt.subplots(nrows, ncols, tight_layout=True,
+                               squeeze=False)
+        ax = ax.ravel()
+        for i in range(k):
+            ax[i].imshow(x[0, :, :, i], cmap="gray")
+        for i in range(len(ax)):
+            ax[i].axis("off")
+        f = os.path.join(save_dir, f"stage{stage}_{name}_features.png")
+        fig.savefig(f, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        np.save(os.path.splitext(f)[0] + ".npy", x[0])
+        written.append(f)
+    return written

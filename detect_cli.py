@@ -37,6 +37,14 @@ def parse_args(argv=None):
                    help="class-agnostic NMS")
     p.add_argument("--half", action="store_true",
                    help="bf16 detector inference (MXU-native)")
+    p.add_argument("--save_img", action="store_true",
+                   help="save annotated images (reference detect.py "
+                        "default-on save path)")
+    p.add_argument("--save_crop", action="store_true",
+                   help="save per-detection crops (detect.py --save-crop)")
+    p.add_argument("--visualize", action="store_true",
+                   help="dump per-stage feature-map grids "
+                        "(detect.py --visualize, plots.py:54)")
     return p.parse_args(argv)
 
 
@@ -99,10 +107,10 @@ def main(argv=None):
                          max_frames=args.max_frames)
     sources = source if isinstance(source, list) else [source]
     for src in sources:
-        _run_source(src, args, isp, fwd, yolo_vars)
+        _run_source(src, args, isp, fwd, yolo_vars, yolo)
 
 
-def _run_source(source, args, isp, fwd, yolo_vars):
+def _run_source(source, args, isp, fwd, yolo_vars, yolo=None):
     import numpy as np
     import jax.numpy as jnp
 
@@ -137,6 +145,26 @@ def _run_source(source, args, isp, fwd, yolo_vars):
             with open(os.path.join(args.save_dir, safe + ".txt"), "w") as f:
                 for d in det:
                     f.write(" ".join(f"{v:.5g}" for v in d) + "\n")
+        if args.save_img or args.save_crop:
+            from adaptiveisp_tpu.api import Detections
+
+            safe = os.path.splitext(name.replace(":", "_"))[0]
+            dd = Detections([raw], [det], dict(enumerate(COCO_NAMES)),
+                            paths=[safe + ".png"])
+            if args.save_img:
+                dd.save(args.save_dir)
+            if args.save_crop:
+                dd.crop(os.path.join(args.save_dir, "crops"))
+        if args.visualize:
+            from adaptiveisp_tpu.obs.plots import feature_visualization
+
+            safe = os.path.splitext(name.replace(":", "_"))[0]
+            _, state = yolo.apply(
+                yolo_vars, x, train=False, capture_intermediates=True,
+                mutable=["intermediates"])
+            feature_visualization(
+                state["intermediates"],
+                os.path.join(args.save_dir, safe))
 
 
 if __name__ == "__main__":

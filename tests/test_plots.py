@@ -218,3 +218,32 @@ def test_plot_images_and_masks_empty(tmp_path):
     plot_images_and_masks(images, np.zeros((0, 6), np.float32),
                           np.zeros((1, 0, 16, 16), np.float32), fname=f)
     assert _file_ok(f)
+
+
+def test_feature_visualization(tmp_path):
+    """flax capture_intermediates -> per-stage grids + npy (plots.py:54)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptiveisp_tpu.detect.model import create_detector
+    from adaptiveisp_tpu.obs.plots import feature_visualization
+
+    spec = {
+        "nc": 4,
+        "anchors": [[10, 14, 23, 27, 37, 58]],
+        "backbone": [[-1, 1, "Conv", [8, 3, 2]],
+                     [-1, 1, "Conv", [16, 3, 2]]],
+        "head": [[[1], 1, "Detect", ["nc", "anchors"]]],
+    }
+    model, variables = create_detector(jax.random.PRNGKey(0), spec=spec,
+                                       imgsz=32)
+    x = jnp.asarray(RNG.rand(1, 32, 32, 3), jnp.float32)
+    _, state = model.apply(variables, x, train=False,
+                           capture_intermediates=True,
+                           mutable=["intermediates"])
+    written = feature_visualization(state["intermediates"],
+                                    str(tmp_path / "feats"))
+    assert len(written) == 2  # the two Conv stages; Detect head skipped
+    for f in written:
+        assert _file_ok(f)
+        assert os.path.exists(os.path.splitext(f)[0] + ".npy")
