@@ -122,3 +122,4 @@ def parse_image_list(path: str) -> List[str]:
 
         files = sorted(_glob.glob(path, recursive=True))
     return files
+

@@ -97,3 +97,14 @@ def labels_to_class_weights(labels: Sequence[np.ndarray],
     counts[counts == 0] = 1
     weights = 1.0 / counts
     return weights / weights.sum()
+
+
+def labels_to_image_weights(labels: Sequence[np.ndarray], nc: int,
+                            class_weights: np.ndarray) -> np.ndarray:
+    """Per-image sampling weights = sum of class weights over each image's
+    labels (reference general.py:703-707, feeds train.py --image-weights)."""
+    counts = np.array([
+        np.bincount((lb[:, 0] if lb.shape[1] == 5 else lb[:, 1]).astype(int),
+                    minlength=nc) if len(lb) else np.zeros(nc, int)
+        for lb in labels])
+    return (class_weights.reshape(1, nc) * counts).sum(1)

@@ -310,6 +310,10 @@ def summarize(stats, names=None, plot_dir=None) -> Dict[str, float]:
             "recall": float(r.mean()),
             "map50": float(ap50.mean()),
             "map": float(ap_mean.mean()),
+            # per-class-id AP (the reference's `maps` vector feeding
+            # --image-weights, train.py:259/275-278)
+            "class_ap": {int(c): float(ap_mean[i])
+                         for i, c in enumerate(classes)},
         }
         if names is not None:
             nt = np.bincount(stats[3].astype(int),

@@ -35,6 +35,12 @@ class DetTrainConfig:
     warmup_bias_lr: float = 0.1
     ema_decay: float = 0.9999
     patience: int = 100          # EarlyStopping (torch_utils.py:381-402)
+    optimizer: str = "SGD"       # SGD | Adam | AdamW (smart_optimizer,
+                                 # torch_utils.py:318-349)
+    cos_lr: bool = True          # cosine one-cycle; False = the reference
+                                 # default linear lf (train.py:255-258)
+    freeze: tuple = ()           # spec layer ids with frozen params
+                                 # (train.py:125-131 backbone freezing)
 
 
 def one_cycle(y1: float = 1.0, y2: float = 0.01, steps: int = 100):

@@ -67,12 +67,19 @@ def _group_of(path) -> str:
 
 
 def make_warmup_optimizer(cfg: DetTrainConfig, steps_per_epoch: int):
-    """smart_optimizer groups + train.py:291-302 warmup semantics."""
+    """smart_optimizer groups + train.py:291-302 warmup semantics.
+
+    cfg.optimizer picks SGD/Adam/AdamW (Adam betas=(momentum, 0.999),
+    torch_utils.py:327-331); cfg.cos_lr picks the cosine one-cycle vs the
+    reference's default linear lf (train.py:255-258); cfg.freeze zeroes
+    updates for the listed spec layer ids (train.py:125-131)."""
     nw = max(round(cfg.warmup_epochs * steps_per_epoch), 100)
     total_epochs = cfg.epochs
 
     def lf(step):
         epoch = step / steps_per_epoch
+        if not cfg.cos_lr:  # linear: (1 - x/epochs) * (1 - lrf) + lrf
+            return (1.0 - epoch / total_epochs) * (1.0 - cfg.lrf) + cfg.lrf
         return ((1 - jnp.cos(epoch * jnp.pi / total_epochs)) / 2
                 * (cfg.lrf - 1.0) + 1.0)
 
@@ -90,20 +97,37 @@ def make_warmup_optimizer(cfg: DetTrainConfig, steps_per_epoch: int):
         frac = jnp.clip(step / nw, 0.0, 1.0)
         return cfg.warmup_momentum + (cfg.momentum - cfg.warmup_momentum) * frac
 
-    def sgd(lr_fn):
+    def opt(lr_fn):
+        if cfg.optimizer in ("Adam", "AdamW"):
+            # AdamW differs from Adam only in where decay applies; both
+            # get it from the kernel group's add_decayed_weights below
+            return optax.inject_hyperparams(optax.adam)(
+                learning_rate=lr_fn, b1=cfg.momentum, b2=0.999)
         return optax.inject_hyperparams(optax.sgd)(
             learning_rate=lr_fn, momentum=momentum, nesterov=True)
 
     tx = optax.multi_transform(
         {
             "kernel": optax.chain(
-                optax.add_decayed_weights(cfg.weight_decay), sgd(lr_main)),
-            "norm": sgd(lr_main),
-            "bias": sgd(lr_bias),
+                optax.add_decayed_weights(cfg.weight_decay), opt(lr_main)),
+            "norm": opt(lr_main),
+            "bias": opt(lr_bias),
         },
         lambda params: jax.tree_util.tree_map_with_path(
             lambda p, _: _group_of(p), params),
     )
+    if cfg.freeze:
+        frozen = set(int(i) for i in cfg.freeze)
+
+        def _is_frozen(path):
+            head = path[0].key  # "l{i}" or "l{i}_{r}"
+            lid = head[1:].split("_")[0]
+            return lid.isdigit() and int(lid) in frozen
+
+        tx = optax.chain(tx, optax.masked(
+            optax.set_to_zero(),
+            lambda params: jax.tree_util.tree_map_with_path(
+                lambda p, _: _is_frozen(p), params)))
     return tx, lr_main
 
 
@@ -202,7 +226,9 @@ class DetectorTrainer:
                  save_dir: Optional[str] = None,
                  multi_scale: bool = False,
                  val_batches: Optional[int] = None,
-                 mesh=None, plots: bool = False, names=None):
+                 mesh=None, plots: bool = False, names=None,
+                 noval: bool = False, nosave: bool = False,
+                 save_period: int = -1, image_weights: bool = False):
         self.model = model
         self.spec = spec
         self.train_ds = train_ds
@@ -216,6 +242,18 @@ class DetectorTrainer:
         self.mesh = mesh
         self.plots = plots and save_dir is not None
         self.names = names
+        self.noval = noval            # only validate the final epoch
+        self.nosave = nosave          # only save the final checkpoint
+        self.save_period = save_period
+        self.image_weights = image_weights
+        # per-class mAP vector feeding --image-weights (train.py:259)
+        self.maps = np.zeros(spec["nc"], np.float32)
+        if image_weights:
+            from adaptiveisp_tpu.detect.autoanchor import (
+                labels_to_class_weights)
+
+            self._class_weights = labels_to_class_weights(
+                list(train_ds.labels), spec["nc"]).astype(np.float32)
 
         self.tx, self._lr_fn = make_warmup_optimizer(
             self.cfg, self.steps_per_epoch)
@@ -383,13 +421,40 @@ class DetectorTrainer:
             self._plot_labels()
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
-            loss = self.train_epoch(epoch)
-            metrics, fit = self._validate()
+            if self.image_weights:
+                # weighted image re-sampling toward weak classes
+                # (reference train.py:275-278)
+                from adaptiveisp_tpu.detect.autoanchor import (
+                    labels_to_image_weights)
 
-            if fit >= self.best_fitness:
-                self.best_fitness = fit
-                self._save("best.pkl", epoch, fit)
-            self._save("last.pkl", epoch, fit)
+                nc = len(self.maps)
+                cw = self._class_weights * (1 - self.maps) ** 2 / nc
+                iw = labels_to_image_weights(
+                    list(self.train_ds.labels), nc, cw)
+                n = len(self.train_ds.labels)
+                if iw.sum() > 0:
+                    self.train_ds.indices = self._ms_rng.choice(
+                        n, size=n, p=iw / iw.sum())
+            loss = self.train_epoch(epoch)
+            final = epoch == epochs - 1
+            validated = not (self.noval and not final)
+            if validated:
+                metrics, fit = self._validate()
+                for c, ap in metrics.get("class_ap", {}).items():
+                    if 0 <= c < len(self.maps):
+                        self.maps[c] = ap
+            else:  # --noval: only validate the final epoch (train.py:346)
+                metrics = {"precision": 0.0, "recall": 0.0,
+                           "map50": 0.0, "map": 0.0}
+                fit = self.best_fitness  # keeps early-stop inert
+
+            if not self.nosave or final:
+                if validated and fit >= self.best_fitness:
+                    self.best_fitness = fit
+                    self._save("best.pkl", epoch, fit)
+                self._save("last.pkl", epoch, fit)
+                if self.save_period > 0 and epoch % self.save_period == 0:
+                    self._save(f"epoch{epoch}.pkl", epoch, fit)
 
             lr_now = float(self._lr_fn(int(jax.device_get(self.state.step))))
             log = EpochLog(epoch, loss, lr_now, metrics, fit,
@@ -424,6 +489,8 @@ class DetectorTrainer:
         flat = {"epoch": log.epoch, "loss": log.loss, "lr": log.lr,
                 "fitness": log.fitness, "seconds": round(log.seconds, 2)}
         for k, v in log.metrics.items():
+            if k == "class_ap":  # per-class-id vector, not a csv column
+                continue
             if isinstance(v, dict):
                 for k2, v2 in v.items():
                     if isinstance(v2, (int, float)):
@@ -441,6 +508,23 @@ class DetectorTrainer:
 def load_detector_checkpoint(path: str):
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def _load_initial_weights(path: str, variables):
+    """--weights init for fine-tuning (reference train.py:120-131): a
+    best/last.pkl from this trainer, a raw variables pickle, or a torch
+    .pt converted on load."""
+    to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    if path.endswith(".pt"):
+        from train_isp import load_yolo_variables
+
+        loaded = load_yolo_variables(path)
+        return to_dev(loaded) if loaded is not None else variables
+    ckpt = load_detector_checkpoint(path)
+    if "model" in ckpt:
+        return to_dev({"params": ckpt["model"]["params"],
+                       "batch_stats": ckpt["model"]["batch_stats"]})
+    return to_dev(ckpt)
 
 
 def main(argv: Optional[Sequence[str]] = None):
@@ -467,6 +551,35 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--patience", type=int, default=100)
     p.add_argument("--multi-scale", action="store_true")
     p.add_argument("--single-cls", action="store_true")
+    p.add_argument("--weights", default=None,
+                   help="initial weights: a best/last.pkl from this "
+                        "trainer or a torch .pt (converted on load)")
+    p.add_argument("--optimizer", default="SGD",
+                   choices=["SGD", "Adam", "AdamW"])
+    p.add_argument("--linear-lr", action="store_true",
+                   help="linear LR decay (the reference default); cosine "
+                        "one-cycle is this trainer's default")
+    p.add_argument("--cos-lr", action="store_true",
+                   help="cosine LR (accepted for reference-CLI compat; "
+                        "already the default)")
+    p.add_argument("--label-smoothing", type=float, default=None,
+                   help="label smoothing epsilon (hyp override)")
+    p.add_argument("--freeze", type=int, nargs="+", default=None,
+                   help="freeze layers: single N = layers 0..N-1 "
+                        "(backbone=10), or an explicit id list")
+    p.add_argument("--image-weights", action="store_true",
+                   help="weighted image re-sampling toward weak classes")
+    p.add_argument("--rect", action="store_true",
+                   help="rectangular batching (disables mosaic/affine "
+                        "augmentation, as in the reference rect mode)")
+    p.add_argument("--noval", action="store_true",
+                   help="only validate the final epoch")
+    p.add_argument("--nosave", action="store_true",
+                   help="only save the final checkpoint")
+    p.add_argument("--noautoanchor", action="store_true",
+                   help="disable the AutoAnchor BPR check/refit")
+    p.add_argument("--save-period", type=int, default=-1,
+                   help="also save epoch{N}.pkl every N epochs")
     p.add_argument("--cache", default="none", choices=["none", "ram", "disk"])
     p.add_argument("--nc", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -496,7 +609,13 @@ def main(argv: Optional[Sequence[str]] = None):
     hyp_dict = load_hyp(args.hyp)
     if args.lr0 is not None:
         hyp_dict["lr0"] = args.lr0
+    if args.label_smoothing is not None:
+        hyp_dict["label_smoothing"] = args.label_smoothing
     nl = len(spec["anchors"])
+    freeze = None
+    if args.freeze:
+        freeze = (tuple(range(args.freeze[0])) if len(args.freeze) == 1
+                  else tuple(args.freeze))  # reference train.py:125-127
 
     if args.batch_size == -1:
         # reference --batch-size -1 -> AutoBatch (yolov3/train.py:186);
@@ -512,6 +631,7 @@ def main(argv: Optional[Sequence[str]] = None):
     if args.val_data:
         val_ds = DetectorDataset(args.val_data, img_size=args.imgsz,
                                  batch_size=args.batch_size, augment=False,
+                                 rect=args.rect,
                                  nc=spec["nc"], single_cls=args.single_cls)
 
     mesh = None
@@ -525,16 +645,48 @@ def main(argv: Optional[Sequence[str]] = None):
             hyp_d, nl=nl, nc=spec["nc"], imgsz=args.imgsz,
             epochs=args.epochs, batch_size=args.batch_size,
             patience=args.patience)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, optimizer=args.optimizer,
+                          cos_lr=not args.linear_lr,
+                          freeze=freeze or ())
         train_ds = DetectorDataset(
             args.data, img_size=args.imgsz, batch_size=args.batch_size,
-            augment=True, cache=args.cache, nc=spec["nc"],
-            single_cls=args.single_cls, seed=args.seed, hyp=aug_hyp)
+            augment=not args.rect, rect=args.rect, cache=args.cache,
+            nc=spec["nc"], single_cls=args.single_cls, seed=args.seed,
+            hyp=aug_hyp)
+        run_spec = spec
+        if not args.noautoanchor:
+            # AutoAnchor: BPR check + kmeans refit on this dataset's label
+            # geometry (reference autoanchor.py check_anchors,
+            # train.py:237-239)
+            from adaptiveisp_tpu.detect.autoanchor import check_anchors
+
+            whs = [lb[:, 3:5] * args.imgsz for lb in train_ds.labels
+                   if len(lb)]
+            if whs:
+                anchors_px = np.asarray(
+                    spec["anchors"], np.float32).reshape(-1, 2)
+                new, bpr, refit = check_anchors(
+                    np.concatenate(whs, 0), anchors_px,
+                    thr=hyp_d.get("anchor_t", 4.0))
+                if refit:
+                    na2 = anchors_px.shape[0] // nl
+                    run_spec = dict(spec, anchors=[
+                        [float(v) for v in new[i * na2:(i + 1) * na2]
+                         .reshape(-1)] for i in range(nl)])
+                    print(f"AutoAnchor: refit anchors (BPR was {bpr:.3f})")
         model, variables = create_detector(
-            jax.random.PRNGKey(args.seed), spec=spec, imgsz=args.imgsz)
-        return DetectorTrainer(model, variables, spec, train_ds, val_ds,
+            jax.random.PRNGKey(args.seed), spec=run_spec, imgsz=args.imgsz)
+        if args.weights:
+            variables = _load_initial_weights(args.weights, variables)
+        return DetectorTrainer(model, variables, run_spec, train_ds, val_ds,
                                cfg=cfg, hyp=loss_hyp, save_dir=save_dir,
                                multi_scale=args.multi_scale, mesh=mesh,
-                               plots=args.plots)
+                               plots=args.plots, noval=args.noval,
+                               nosave=args.nosave,
+                               save_period=args.save_period,
+                               image_weights=args.image_weights)
 
     if args.evolve:
         def build_and_fit(hyp_d):

@@ -447,3 +447,87 @@ def test_extra_augment_probability_gate_and_custom(shapes_dataset):
     img0, lb0 = ds0[0]
     np.testing.assert_array_equal(lb1, lb0)   # boxes identical
     assert not np.array_equal(img1, img0)     # pixels blurred
+
+
+# --------------------------------------------------------------------------- #
+# trainer options: optimizer choice, linear LR, freeze, image weights,
+# noval/nosave/save-period (reference train.py flags)
+# --------------------------------------------------------------------------- #
+def test_linear_lr_schedule():
+    cfg = DetTrainConfig(epochs=10, lr0=0.01, lrf=0.1, warmup_epochs=0.0,
+                         cos_lr=False)
+    _, lr_main = make_warmup_optimizer(cfg, steps_per_epoch=100)
+    # linear lf: (1 - x/epochs)*(1 - lrf) + lrf (reference train.py:257)
+    for step, epoch in [(0, 0.0), (500, 5.0), (999, 9.99)]:
+        exp = cfg.lr0 * ((1 - epoch / 10) * (1 - cfg.lrf) + cfg.lrf)
+        got = float(lr_main(step))
+        # warmup floor nw=100 affects step 0 only
+        if step >= 100:
+            np.testing.assert_allclose(got, exp, rtol=1e-4)
+
+
+def test_adam_optimizer_step_runs():
+    cfg = DetTrainConfig(epochs=2, optimizer="Adam")
+    tx, _ = make_warmup_optimizer(cfg, steps_per_epoch=10)
+    params = {"l0": {"kernel": jnp.ones((3, 3)), "bias": jnp.zeros(3)}}
+    st = tx.init(params)
+    upd, _ = tx.update(jax.tree_util.tree_map(jnp.ones_like, params),
+                       st, params)
+    assert np.isfinite(np.asarray(upd["l0"]["kernel"])).all()
+
+
+def test_freeze_masks_layer_updates():
+    cfg = DetTrainConfig(epochs=2, warmup_epochs=0.0, freeze=(0,))
+    tx, _ = make_warmup_optimizer(cfg, steps_per_epoch=10)
+    params = {"l0": {"kernel": jnp.ones((3, 3))},
+              "l1": {"kernel": jnp.ones((3, 3))}}
+    st = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    # step past warmup so the live lr is nonzero
+    for _ in range(3):
+        upd, st = tx.update(grads, st, params)
+    assert float(jnp.abs(upd["l0"]["kernel"]).max()) == 0.0  # frozen
+    assert float(jnp.abs(upd["l1"]["kernel"]).max()) > 0.0
+
+
+def test_labels_to_image_weights_oracle():
+    from adaptiveisp_tpu.detect.autoanchor import (labels_to_class_weights,
+                                                   labels_to_image_weights)
+
+    labels = [np.array([[0, .5, .5, .1, .1], [1, .5, .5, .1, .1]]),
+              np.array([[1, .5, .5, .1, .1]]),
+              np.zeros((0, 5))]
+    cw = labels_to_class_weights(labels, nc=3)
+    # class 0 appears once, class 1 twice, class 2 never (bin -> 1)
+    assert cw[0] > cw[1] > 0 and cw[2] > 0
+    iw = labels_to_image_weights(labels, 3, cw)
+    np.testing.assert_allclose(iw, [cw[0] + cw[1], cw[1], 0.0], rtol=1e-6)
+
+
+def test_trainer_noval_nosave_save_period_image_weights(
+        shapes_dataset, tmp_path):
+    imgsz = 96
+    spec = dict(YOLOV3_TINY_SPEC, nc=2)
+    model, variables = create_detector(
+        jax.random.PRNGKey(0), spec=spec, nc=2, imgsz=imgsz)
+    train_ds = DetectorDataset(shapes_dataset, img_size=imgsz, batch_size=4,
+                               augment=True, hyp=AugHyp(mosaic=0.0), seed=0)
+    val_ds = DetectorDataset(shapes_dataset, img_size=imgsz, batch_size=4,
+                             augment=False)
+    cfg = DetTrainConfig(epochs=3, batch_size=4, warmup_epochs=1.0)
+    trainer = DetectorTrainer(model, variables, spec, train_ds, val_ds,
+                              cfg=cfg, save_dir=str(tmp_path),
+                              val_batches=1, noval=True, nosave=True,
+                              save_period=2, image_weights=True)
+    history = trainer.fit()
+    # --noval: intermediate epochs carry zero metrics, final is validated
+    assert history[0].metrics["map50"] == 0.0
+    assert "class_ap" in history[-1].metrics
+    # --nosave: only the final epoch wrote checkpoints (reference
+    # train.py: the save block runs `if (not nosave) or final_epoch`, so
+    # a save-period hit on the final epoch still writes its epoch file)
+    assert (tmp_path / "last.pkl").exists()
+    assert not (tmp_path / "epoch0.pkl").exists()
+    assert (tmp_path / "epoch2.pkl").exists()
+    # image weights resampled the epoch order (indices became a draw)
+    assert len(train_ds.indices) == len(train_ds.labels)
