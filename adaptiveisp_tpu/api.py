@@ -330,3 +330,37 @@ def load_value(cfg: Config = DEFAULT_CONFIG, imgsz: int = 512, seed: int = 0):
 
     return create_value_state(cfg, jax.random.PRNGKey(seed),
                               image_size=imgsz, batch=1)
+
+
+# --------------------------------------------------------------------------- #
+# hubconf-style named constructors (reference hubconf.py:68-135): each is a
+# one-call AutoShape model over a named spec; `custom(path)` loads any
+# checkpoint this framework writes (or a torch .pt, converted on load).
+# --------------------------------------------------------------------------- #
+def _named(spec_name, weights=None, classes: int = 80, augment: bool = False,
+           names=None) -> Detector:
+    from adaptiveisp_tpu.detect.spec import (YOLOV3_SPEC, YOLOV3_TINY_SPEC,
+                                             YOLOV5S_SPEC)
+
+    spec = {"yolov3": YOLOV3_SPEC, "yolov3-tiny": YOLOV3_TINY_SPEC,
+            "yolov5s": YOLOV5S_SPEC}[spec_name]
+    nc = None if classes == spec["nc"] else classes
+    return load_detector(weights=weights, spec=spec, nc=nc, names=names,
+                         augment=augment)
+
+
+def yolov3(weights=None, classes: int = 80, **kw) -> Detector:
+    return _named("yolov3", weights, classes, **kw)
+
+
+def yolov3_tiny(weights=None, classes: int = 80, **kw) -> Detector:
+    return _named("yolov3-tiny", weights, classes, **kw)
+
+
+def yolov5s(weights=None, classes: int = 80, **kw) -> Detector:
+    return _named("yolov5s", weights, classes, **kw)
+
+
+def custom(path, spec=None, **kw) -> Detector:
+    """reference hubconf.custom: any checkpoint path + optional spec."""
+    return load_detector(weights=path, spec=spec, **kw)

@@ -139,11 +139,11 @@ def bench_cpu_reference_proxy(size=512, iters=3):
     return mpix
 
 
-def bench_adaptive_inference(size=512, steps=5, iters=16):
+def bench_adaptive_inference(size=512, steps=5, iters=16, half=False):
     """BASELINE config 2: batch-1 adaptive inference — 5-step agent rollout
     (switch render) + YOLOv3 forward + decode + NMS, ms/img marginal device
     time (val_adaptiveisp.py protocol: conf 0.001, iou 0.6, max_det 300,
-    multi_label)."""
+    multi_label).  half=True runs the detector bf16 (the --half mode)."""
     import jax
     import jax.numpy as jnp
 
@@ -157,7 +157,8 @@ def bench_adaptive_inference(size=512, steps=5, iters=16):
     cfg = Config()
     ka, ky = jax.random.split(jax.random.PRNGKey(0))
     agent, agent_vars = create_agent_state(cfg, ka, image_size=size, batch=1)
-    yolo, yolo_vars = create_detector(ky, imgsz=256)
+    yolo, yolo_vars = create_detector(
+        ky, imgsz=256, dtype=jnp.bfloat16 if half else None)
 
     rng = np.random.RandomState(0)
     noises = jnp.asarray(rng.rand(steps, 1, cfg.z_dim).astype(np.float32))
@@ -203,7 +204,8 @@ def bench_adaptive_inference(size=512, steps=5, iters=16):
     short, long = max(1, iters // 4), iters
     t_short, t_long = run_n(short), run_n(long)
     dt = (t_long - t_short) / (long - short)
-    log(f"adaptive inference: {dt * 1e3:.2f} ms/img "
+    log(f"adaptive inference{' (bf16 detector)' if half else ''}: "
+        f"{dt * 1e3:.2f} ms/img "
         f"({steps}-step switch rollout + YOLOv3 + NMS, batch 1 @ {size}px)")
     return dt
 
@@ -298,6 +300,11 @@ def main():
                 bench_adaptive_inference() * 1e3, 3)
         except Exception as e:
             log(f"adaptive-inference bench skipped: {e}")
+        try:
+            extras["adaptive_inference_bf16_ms_img"] = round(
+                bench_adaptive_inference(half=True) * 1e3, 3)
+        except Exception as e:
+            log(f"bf16 adaptive-inference bench skipped: {e}")
         try:
             extras["train_steps_per_sec"] = round(1.0 / bench_train_step(), 3)
         except Exception as e:

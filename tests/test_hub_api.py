@@ -94,3 +94,28 @@ def test_rest_serving(detector, tmp_path):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_named_constructors_and_custom(tmp_path):
+    """hubconf-style entries (reference hubconf.py:68-135)."""
+    import numpy as np
+
+    from adaptiveisp_tpu import api
+
+    det = api.yolov3_tiny(classes=3)
+    assert isinstance(det, api.Detector)
+    img = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    res = det(img, size=64, conf_thres=0.5)
+    assert len(res) == 1
+    # TTA flag threads through the named constructor
+    det_tta = api.yolov3_tiny(classes=3, augment=True)
+    assert det_tta.augment
+    # custom(path): round-trip a variables pickle
+    import pickle
+
+    p = tmp_path / "w.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(
+            {k: v for k, v in det.variables.items()}, f)
+    det2 = api.custom(str(p), spec=det.spec)
+    assert isinstance(det2, api.Detector)
