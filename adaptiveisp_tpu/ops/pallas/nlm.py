@@ -396,7 +396,10 @@ def _overlap_rows_g(padded, tile: int, height: int, halo: int):
 def _nlm_backward(rgb, h, v, u, wsum, interpret: bool = False):
     """Pallas backward: returns (dL/drgb NHWC, dL/dhh [N, 1])."""
     n, height, width, _ = rgb.shape
-    tile = min(_pick_tile(height), 16)
+    # tile 32 measured 21.7 vs 29.7 ms fwd+bwd for 8x512x512 on v5e (less
+    # halo re-reading, same as the forward's tile sweep); grads bitwise
+    # equal to tile 16.  Scoped-VMEM stays inside the raised limit below.
+    tile = min(_pick_tile(height), 32)
 
     def nchw_pad(x, halo):
         t = jnp.transpose(x, (0, 3, 1, 2))

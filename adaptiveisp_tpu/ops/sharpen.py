@@ -68,13 +68,16 @@ def gaussian_blur(img, kernel_size: int, sigma):
     k2 = jnp.outer(k1, k1)
     pad = kernel_size // 2
     x = jnp.pad(img, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
-    c = img.shape[-1]
-    k = jnp.broadcast_to(
-        k2[:, :, None, None], (kernel_size, kernel_size, 1, c)).astype(img.dtype)
-    return jax.lax.conv_general_dilated(
-        x, k, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST)
+    # shifted slice-multiply-adds instead of a depthwise conv: depthwise
+    # can't use the MXU and XLA's fallback lowering is ~20x slower than
+    # this single fused VPU pass (see ops/math.depthwise_conv3x3)
+    n, hp, wp, c = x.shape
+    h, w = hp - 2 * pad, wp - 2 * pad
+    out = jnp.zeros((n, h, w, c), img.dtype)
+    for i in range(kernel_size):
+        for j in range(kernel_size):
+            out = out + k2[i, j] * x[:, i:i + h, j:j + w, :]
+    return out
 
 
 def unsharp_mask(img, sigma, amount, kernel_size: int = 5, clip: bool = True):
