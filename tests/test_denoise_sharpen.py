@@ -149,3 +149,26 @@ def test_nlm_image_gradient_finite():
         assert np.isfinite(np.asarray(g_img)).all(), fn.__name__
         assert np.isfinite(np.asarray(g_h)).all(), fn.__name__
         assert np.abs(np.asarray(g_img)).max() > 0, fn.__name__
+
+
+def test_depthwise_conv3x3_matches_lax_conv():
+    """The slice-sum rewrite must equal the lax depthwise conv it replaced
+    (the conv lowering was 48x slower on TPU; same dot either way)."""
+    import jax
+
+    from adaptiveisp_tpu.ops.math import depthwise_conv3x3
+
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.rand(2, 17, 23, 3).astype(np.float32))
+    kernel = jnp.asarray(rng.rand(3, 3).astype(np.float32))
+    for padding in ("VALID", "SAME"):
+        got = depthwise_conv3x3(img, kernel, padding=padding)
+        k = jnp.broadcast_to(kernel[:, :, None, None], (3, 3, 1, 3))
+        ref = jax.lax.conv_general_dilated(
+            img, k, window_strides=(1, 1), padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=3,
+            precision=jax.lax.Precision.HIGHEST)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
