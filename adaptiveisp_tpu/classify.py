@@ -162,6 +162,8 @@ class ClsTrainConfig:
     label_smoothing: float = 0.1
     ema_decay: float = 0.9999
     patience: int = 50
+    optimizer: str = "SGD"  # SGD | Adam | AdamW | RMSProp
+                            # (reference classify/train.py --optimizer)
 
 
 def make_classifier_train_step(model, cfg: ClsTrainConfig, tx):
@@ -212,9 +214,15 @@ class ClassifierTrainer:
         total = self.cfg.epochs * steps_per_epoch
         sched = optax.cosine_decay_schedule(
             self.cfg.lr0, max(total, 1), alpha=self.cfg.lrf)
+        if self.cfg.optimizer in ("Adam", "AdamW"):
+            inner = optax.adam(sched, b1=self.cfg.momentum, b2=0.999)
+        elif self.cfg.optimizer == "RMSProp":
+            inner = optax.rmsprop(sched, momentum=self.cfg.momentum)
+        else:
+            inner = optax.sgd(sched, momentum=self.cfg.momentum,
+                              nesterov=True)
         tx = optax.chain(optax.add_decayed_weights(self.cfg.weight_decay),
-                         optax.sgd(sched, momentum=self.cfg.momentum,
-                                   nesterov=True))
+                         inner)
         step_fn = make_classifier_train_step(self.model, self.cfg, tx)
         self.state = (variables["params"], variables["batch_stats"],
                       tx.init(variables["params"]),
@@ -341,6 +349,13 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--lr0", type=float, default=0.001)
     p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--optimizer", default="SGD",
+                   choices=["SGD", "Adam", "AdamW", "RMSProp"])
+    p.add_argument("--label-smoothing", type=float, default=0.1)
+    p.add_argument("--decay", type=float, default=5e-5,
+                   help="weight decay")
+    p.add_argument("--cutoff", type=int, default=None,
+                   help="backbone layer cutoff (classify/train.py --cutoff)")
     p.add_argument("--save-dir", default="runs/train-cls")
     p.add_argument("--dp", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
@@ -362,7 +377,7 @@ def main(argv=None):
 
     model, variables = create_classifier(
         jax.random.PRNGKey(args.seed), nc=len(train_ds.classes),
-        imgsz=args.imgsz, dropout=args.dropout)
+        imgsz=args.imgsz, dropout=args.dropout, cutoff=args.cutoff)
     if args.weights:
         with open(args.weights, "rb") as f:
             ckpt = pickle.load(f)
@@ -373,7 +388,9 @@ def main(argv=None):
 
         mesh = make_mesh(args.dp)
     cfg = ClsTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
-                         lr0=args.lr0)
+                         lr0=args.lr0, optimizer=args.optimizer,
+                         label_smoothing=args.label_smoothing,
+                         weight_decay=args.decay)
     trainer = ClassifierTrainer(model, variables, train_ds, val_ds, cfg=cfg,
                                 save_dir=args.save_dir, mesh=mesh,
                                 seed=args.seed)
