@@ -600,6 +600,12 @@ def train_main(argv=None):
     p.add_argument("--save-dir", default="runs/train-seg")
     p.add_argument("--plots", action="store_true")
     p.add_argument("--dp", type=int, default=0)
+    p.add_argument("--optimizer", default="SGD",
+                   choices=["SGD", "Adam", "AdamW"])
+    p.add_argument("--linear-lr", action="store_true",
+                   help="linear LR decay (the reference default schedule)")
+    p.add_argument("--freeze", type=int, nargs="+", default=None,
+                   help="freeze layers: single N = layers 0..N-1")
     p.add_argument("--resume", default=None,
                    help="last.pkl to continue from (optimizer/EMA/epoch)")
     p.add_argument("--weights", default=None,
@@ -628,6 +634,14 @@ def train_main(argv=None):
         hyp_dict, nl=len(spec["anchors"]), nc=spec["nc"],
         imgsz=args.imgsz, epochs=args.epochs,
         batch_size=args.batch_size, patience=args.patience)
+    import dataclasses as _dc
+
+    freeze = None
+    if args.freeze:
+        freeze = (tuple(range(args.freeze[0])) if len(args.freeze) == 1
+                  else tuple(args.freeze))
+    cfg = _dc.replace(cfg, optimizer=args.optimizer,
+                      cos_lr=not args.linear_lr, freeze=freeze or ())
 
     model, variables = create_detector(
         jax.random.PRNGKey(args.seed), spec=spec, imgsz=args.imgsz)
