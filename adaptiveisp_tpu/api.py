@@ -185,6 +185,10 @@ class Detector:
         if hasattr(self.model, "apply_decoded"):
             # DetectorEnsemble: members decode per-spec inside one jit and
             # concatenate candidates (reference experimental.py:64-69)
+            if self.augment:
+                raise ValueError(
+                    "augment=True (TTA) is not supported for NMS "
+                    "ensembles — run TTA per member instead")
             self._fwd = jax.jit(
                 lambda v, x: self.model.apply_decoded(v, x))
         elif self.augment:

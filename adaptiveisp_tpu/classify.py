@@ -214,15 +214,20 @@ class ClassifierTrainer:
         total = self.cfg.epochs * steps_per_epoch
         sched = optax.cosine_decay_schedule(
             self.cfg.lr0, max(total, 1), alpha=self.cfg.lrf)
-        if self.cfg.optimizer in ("Adam", "AdamW"):
-            inner = optax.adam(sched, b1=self.cfg.momentum, b2=0.999)
-        elif self.cfg.optimizer == "RMSProp":
-            inner = optax.rmsprop(sched, momentum=self.cfg.momentum)
+        if self.cfg.optimizer == "AdamW":
+            # decoupled decay (torch.optim.AdamW) — NOT Adam+L2
+            tx = optax.adamw(sched, b1=self.cfg.momentum, b2=0.999,
+                             weight_decay=self.cfg.weight_decay)
         else:
-            inner = optax.sgd(sched, momentum=self.cfg.momentum,
-                              nesterov=True)
-        tx = optax.chain(optax.add_decayed_weights(self.cfg.weight_decay),
-                         inner)
+            if self.cfg.optimizer == "Adam":
+                inner = optax.adam(sched, b1=self.cfg.momentum, b2=0.999)
+            elif self.cfg.optimizer == "RMSProp":
+                inner = optax.rmsprop(sched, momentum=self.cfg.momentum)
+            else:
+                inner = optax.sgd(sched, momentum=self.cfg.momentum,
+                                  nesterov=True)
+            tx = optax.chain(
+                optax.add_decayed_weights(self.cfg.weight_decay), inner)
         step_fn = make_classifier_train_step(self.model, self.cfg, tx)
         self.state = (variables["params"], variables["batch_stats"],
                       tx.init(variables["params"]),

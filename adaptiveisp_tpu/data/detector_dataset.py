@@ -64,7 +64,16 @@ class DetectorDataset:
                  cache: str = "none", hyp: Optional[AugHyp] = None,
                  nc: Optional[int] = None, single_cls: bool = False,
                  seed: int = 0, extra_augment=None):
-        assert not (augment and rect), "rect is a val/inference mode"
+        if augment and rect:
+            # rect training keeps per-image augmentation (HSV, flips,
+            # shape-preserving perspective) but disables mosaic/mixup —
+            # random canvas composition breaks the per-batch shape
+            # buckets (reference dataloaders.py: mosaic = augment and
+            # not rect)
+            import dataclasses as _dc
+
+            hyp = _dc.replace(hyp or AugHyp(), mosaic=0.0, mosaic9=0.0,
+                              mixup=0.0)
         if isinstance(path_or_files, (list, tuple)):
             self.im_files = list(path_or_files)
         elif os.path.isdir(path_or_files):

@@ -61,10 +61,13 @@ def non_max_suppression(prediction, conf_thres: float = 0.25,
     """prediction: [N, n_boxes, 5+nc(+nm)] decoded (xywh, obj, cls-probs,
     and with nm > 0 the raw mask coefficients of a segmentation head).
 
-    ``classes`` (static tuple of class ids) keeps only those classes — the
-    reference's class filter (general.py:933-934), applied here by zeroing
-    the disallowed class confidences before candidate selection so top-k
-    slots are never wasted on filtered rows.
+    ``classes`` (static tuple of class ids) keeps only those classes —
+    the reference's class filter (general.py:933-934), which drops rows
+    AFTER class assignment: multi-label rows own their class, so zeroing
+    disallowed class confidences before top-k is equivalent; in the
+    single-label path the argmax runs over ALL classes first and a row
+    whose best class is filtered is dropped (not reassigned to its best
+    allowed class).  Either way no top-k slot is wasted on filtered rows.
 
     Returns (detections [N, max_det, 6], n_valid [N]); with nm > 0 a third
     output carries each kept detection's mask coefficients
@@ -80,12 +83,14 @@ def non_max_suppression(prediction, conf_thres: float = 0.25,
         cand = obj > conf_thres
         box = xywh2xyxy(x[:, :4])
         cls_conf = x[:, 5:] * obj[:, None]  # conf = obj * cls
+        cmask = None
         if classes is not None:
             cmask = np.zeros((nc,), np.float32)
             cmask[np.asarray(classes, int)] = 1.0
-            cls_conf = cls_conf * cmask[None, :]
 
         if multi_label and nc > 1:
+            if cmask is not None:
+                cls_conf = cls_conf * cmask[None, :]
             # every (box, class) pair is a candidate row; boxes/classes are
             # gathered only for the top-k winners (gathering 20 MB of boxes
             # for all n*nc pairs first cost ~5 ms at 512px/80 classes)
@@ -99,6 +104,9 @@ def non_max_suppression(prediction, conf_thres: float = 0.25,
             best_cls = jnp.argmax(cls_conf, axis=1)
             scores = cls_conf[jnp.arange(x.shape[0]), best_cls]
             scores = jnp.where(cand, scores, 0.0)
+            if cmask is not None:
+                # drop rows whose BEST class is filtered (general.py:934)
+                scores = scores * jnp.asarray(cmask)[best_cls]
             k = min(max_nms, scores.shape[0])
             top_scores, top_i = _exact_top_k(scores, k)
             top_boxes = box[top_i]

@@ -97,21 +97,31 @@ def make_warmup_optimizer(cfg: DetTrainConfig, steps_per_epoch: int):
         frac = jnp.clip(step / nw, 0.0, 1.0)
         return cfg.warmup_momentum + (cfg.momentum - cfg.warmup_momentum) * frac
 
-    def opt(lr_fn):
-        if cfg.optimizer in ("Adam", "AdamW"):
-            # AdamW differs from Adam only in where decay applies; both
-            # get it from the kernel group's add_decayed_weights below
-            return optax.inject_hyperparams(optax.adam)(
+    def opt(lr_fn, decayed: bool):
+        wd = cfg.weight_decay if decayed else 0.0
+        if cfg.optimizer == "AdamW":
+            # decoupled decay (torch.optim.AdamW): weight_decay applies
+            # AFTER the moment preconditioning, scaled by lr
+            return optax.inject_hyperparams(optax.adamw)(
+                learning_rate=lr_fn, b1=cfg.momentum, b2=0.999,
+                weight_decay=wd)
+        if cfg.optimizer == "Adam":
+            # L2-coupled decay (torch.optim.Adam(weight_decay=...)):
+            # decay enters the gradient before the moments
+            inner = optax.inject_hyperparams(optax.adam)(
                 learning_rate=lr_fn, b1=cfg.momentum, b2=0.999)
-        return optax.inject_hyperparams(optax.sgd)(
-            learning_rate=lr_fn, momentum=momentum, nesterov=True)
+        else:
+            inner = optax.inject_hyperparams(optax.sgd)(
+                learning_rate=lr_fn, momentum=momentum, nesterov=True)
+        if wd:
+            return optax.chain(optax.add_decayed_weights(wd), inner)
+        return inner
 
     tx = optax.multi_transform(
         {
-            "kernel": optax.chain(
-                optax.add_decayed_weights(cfg.weight_decay), opt(lr_main)),
-            "norm": opt(lr_main),
-            "bias": opt(lr_bias),
+            "kernel": opt(lr_main, decayed=True),
+            "norm": opt(lr_main, decayed=False),
+            "bias": opt(lr_bias, decayed=False),
         },
         lambda params: jax.tree_util.tree_map_with_path(
             lambda p, _: _group_of(p), params),
@@ -370,6 +380,11 @@ class DetectorTrainer:
             # smart_resume, torch_utils.py:361-378)
             "opt_state": jax.device_get(self.state.opt_state),
             "step": int(jax.device_get(self.state.step)),
+            # the anchors the model was TRAINED against (may differ from
+            # the base spec after an AutoAnchor refit) — decode with these
+            "spec_anchors": [list(map(float, a))
+                             for a in self.spec["anchors"]],
+            "nc": int(self.spec["nc"]),
         }
         with open(os.path.join(self.save_dir, name), "wb") as f:
             pickle.dump(payload, f)
@@ -448,9 +463,14 @@ class DetectorTrainer:
                            "map50": 0.0, "map": 0.0}
                 fit = self.best_fitness  # keeps early-stop inert
 
+            # best-fitness tracking is UNCONDITIONAL (reference train.py
+            # updates best_fitness before the save gate); the save gate
+            # only controls which files get written
+            best_now = validated and fit >= self.best_fitness
+            if best_now:
+                self.best_fitness = fit
             if not self.nosave or final:
-                if validated and fit >= self.best_fitness:
-                    self.best_fitness = fit
+                if best_now:
                     self._save("best.pkl", epoch, fit)
                 self._save("last.pkl", epoch, fit)
                 if self.save_period > 0 and epoch % self.save_period == 0:
@@ -570,8 +590,9 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--image-weights", action="store_true",
                    help="weighted image re-sampling toward weak classes")
     p.add_argument("--rect", action="store_true",
-                   help="rectangular batching (disables mosaic/affine "
-                        "augmentation, as in the reference rect mode)")
+                   help="rectangular training (per-batch shape buckets; "
+                        "keeps HSV/flip/perspective augmentation, "
+                        "disables mosaic/mixup as in the reference)")
     p.add_argument("--noval", action="store_true",
                    help="only validate the final epoch")
     p.add_argument("--nosave", action="store_true",
@@ -652,30 +673,48 @@ def main(argv: Optional[Sequence[str]] = None):
                           freeze=freeze or ())
         train_ds = DetectorDataset(
             args.data, img_size=args.imgsz, batch_size=args.batch_size,
-            augment=not args.rect, rect=args.rect, cache=args.cache,
+            augment=True, rect=args.rect, cache=args.cache,
             nc=spec["nc"], single_cls=args.single_cls, seed=args.seed,
             hyp=aug_hyp)
         run_spec = spec
         if not args.noautoanchor:
             # AutoAnchor: BPR check + kmeans refit on this dataset's label
             # geometry (reference autoanchor.py check_anchors,
-            # train.py:237-239)
-            from adaptiveisp_tpu.detect.autoanchor import check_anchors
+            # train.py:237-239).  Failures warn and keep the original
+            # anchors (the reference wraps the refit the same way).
+            try:
+                from adaptiveisp_tpu.detect.autoanchor import check_anchors
 
-            whs = [lb[:, 3:5] * args.imgsz for lb in train_ds.labels
-                   if len(lb)]
-            if whs:
-                anchors_px = np.asarray(
-                    spec["anchors"], np.float32).reshape(-1, 2)
-                new, bpr, refit = check_anchors(
-                    np.concatenate(whs, 0), anchors_px,
-                    thr=hyp_d.get("anchor_t", 4.0))
-                if refit:
-                    na2 = anchors_px.shape[0] // nl
-                    run_spec = dict(spec, anchors=[
-                        [float(v) for v in new[i * na2:(i + 1) * na2]
-                         .reshape(-1)] for i in range(nl)])
-                    print(f"AutoAnchor: refit anchors (BPR was {bpr:.3f})")
+                whs = [lb[:, 3:5] * args.imgsz for lb in train_ds.labels
+                       if len(lb)]
+                if whs:
+                    anchors_px = np.asarray(
+                        spec["anchors"], np.float32).reshape(-1, 2)
+                    new, bpr, refit = check_anchors(
+                        np.concatenate(whs, 0), anchors_px,
+                        thr=hyp_d.get("anchor_t", 4.0))
+                    if refit:
+                        na2 = anchors_px.shape[0] // nl
+                        run_spec = dict(spec, anchors=[
+                            [float(v) for v in new[i * na2:(i + 1) * na2]
+                             .reshape(-1)] for i in range(nl)])
+                        print(f"AutoAnchor: refit anchors "
+                              f"(BPR was {bpr:.3f})")
+                        if save_dir:
+                            # persist the trained-against spec so val /
+                            # detect / export consume matching anchors:
+                            # --spec <run>/spec.yaml
+                            import yaml as _yaml
+
+                            os.makedirs(save_dir, exist_ok=True)
+                            sp = os.path.join(save_dir, "spec.yaml")
+                            with open(sp, "w") as f:
+                                _yaml.safe_dump(run_spec, f,
+                                                sort_keys=False)
+                            print(f"AutoAnchor: refit spec written to "
+                                  f"{sp} — pass --spec {sp} downstream")
+            except Exception as e:
+                print(f"AutoAnchor skipped: {e}")
         model, variables = create_detector(
             jax.random.PRNGKey(args.seed), spec=run_spec, imgsz=args.imgsz)
         if args.weights:

@@ -293,11 +293,10 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
             if save_dir and save_txt:
                 # normalized `cls xc yc w h [conf]` label files
                 # (reference val.py save_one_txt, :50-56)
+                from adaptiveisp_tpu.detect.boxes import xyxy2xywhn
+
                 os.makedirs(os.path.join(save_dir, "labels"), exist_ok=True)
-                gn = np.array([w0, h0, w0, h0], np.float32)
-                xywh = np.concatenate(
-                    [(det[:, :2] + det[:, 2:4]) / 2,
-                     det[:, 2:4] - det[:, :2]], axis=1) / gn
+                xywh = np.asarray(xyxy2xywhn(det[:, :4], w=w0, h=h0))
                 lines = []
                 for ri in range(det.shape[0]):
                     vals = [int(det[ri, 5])] + xywh[ri].tolist() + (

@@ -64,6 +64,7 @@ def gaussian_blur(img, kernel_size: int, sigma):
     Matches reference gaussian_blur_torch (sharpen.py:63-81).
     img: [N, H, W, C].
     """
+    assert kernel_size % 2 == 1, "slice-sum blur needs an odd kernel"
     k1 = gaussian_kernel1d(kernel_size, sigma)
     k2 = jnp.outer(k1, k1)
     pad = kernel_size // 2

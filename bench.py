@@ -55,7 +55,7 @@ def timed_chain(step_fn, x0, iters, repeats: int = 3):
     return samples[len(samples) // 2]
 
 
-def bench_tpu_render(batch=8, size=512, iters=256):
+def bench_tpu_render(batch=8, size=512, iters=2048):
     import jax
     import jax.numpy as jnp
 
@@ -83,7 +83,7 @@ def bench_tpu_render(batch=8, size=512, iters=256):
     return mpix
 
 
-def bench_nlm(batch=4, size=512, iters=8):
+def bench_nlm(batch=4, size=512, iters=32):
     """Secondary metric: the NLM hot kernel, Pallas vs XLA (stderr only)."""
     import jax.numpy as jnp
 
@@ -147,7 +147,7 @@ def bench_cpu_reference_proxy(size=512, iters=3):
     return mpix
 
 
-def bench_adaptive_inference(size=512, steps=5, iters=16, half=False):
+def bench_adaptive_inference(size=512, steps=5, iters=64, half=False):
     """BASELINE config 2: batch-1 adaptive inference — 5-step agent rollout
     (switch render) + YOLOv3 forward + decode + NMS, ms/img marginal device
     time (val_adaptiveisp.py protocol: conf 0.001, iou 0.6, max_det 300,

@@ -294,6 +294,15 @@ def test_nms_classes_filter():
         max_nms=8, multi_label=False, classes=(2,))
     assert int(nvalid[0]) == 1
     assert int(out[0][0, 5]) == 2
+    # single-label + filtered best class: the row is DROPPED, not
+    # reassigned to its best allowed class (reference general.py:933-934
+    # filters after class assignment)
+    pred2 = np.zeros((1, 1, 5 + 3), np.float32)
+    pred2[0, 0] = [50, 50, 20, 20, 0.9, 0.4, 0.95, 0.01]  # best cls 1
+    out, nvalid = non_max_suppression(
+        jnp.asarray(pred2), conf_thres=0.25, iou_thres=0.45, max_det=8,
+        max_nms=8, multi_label=False, classes=(0,))
+    assert int(nvalid[0]) == 0  # cls0 conf 0.36 > thres, but best is cls1
 
 
 # --------------------------------------------------------------------------- #
