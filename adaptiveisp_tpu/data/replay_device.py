@@ -50,7 +50,10 @@ def _gather(pool, idx):
     return jnp.take(pool, idx, axis=0)
 
 
-@jax.jit
+# the pool buffer is exclusively owned by DeviceReplayMemory, so the
+# write-back donates it — XLA aliases input/output and updates in place
+# instead of copying the full 128 MB pool every step
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter(pool, idx, values):
     return pool.at[idx].set(values)
 
@@ -76,7 +79,7 @@ def _make_sharded_ops(mesh):
         out_specs=spec_pool))
     scatter = jax.jit(jax.shard_map(
         scatter_local, mesh=mesh, in_specs=(spec_pool, spec_vec, spec_pool),
-        out_specs=spec_pool))
+        out_specs=spec_pool), donate_argnums=(0,))
     return gather, scatter
 
 
@@ -132,9 +135,10 @@ class DeviceReplayMemory:
             step = max(1, feeder_batch)
             for s in range(0, self.pool_size, step):
                 sl = slice(s, min(s + step, self.pool_size))
-                imgs_np = np.asarray(jax.device_get(self.images[sl]))
+                # device slice straight into the jitted loss — no
+                # device->host->device round trip of the pool images
                 self.loss_in[sl] = np.asarray(loss_fn(
-                    imgs_np, [m["label"] for m in self.meta[sl]]))
+                    self.images[sl], [m["label"] for m in self.meta[sl]]))
 
     # ------------------------------------------------------------------ #
     def sample(self, batch_size: int):
@@ -195,11 +199,17 @@ class DeviceReplayMemory:
         refresh = []
         for pos, slot in enumerate(idx):
             st = new_states[pos]
+            # a stopped trajectory is done: the reference re-inserts it but
+            # discards it at the next pop and tops the pool up with a fresh
+            # RAW (replay_memory pop-unstopped + fill) — net effect, every
+            # stopped slot becomes a fresh RAW, which this does eagerly so
+            # the pool never drains below pool_size live slots
+            stopped = st[STATE_STOPPED_DIM] == 1
             overlong = (st[STATE_STEP_DIM]
                         >= self.cfg.maximum_trajectory_length
                         and self._py_rng.random()
                         >= self.cfg.over_length_keep_prob)
-            if overlong:
+            if stopped or overlong:
                 refresh.append(slot)
             else:
                 keep.append(pos)
@@ -270,8 +280,22 @@ class DeviceReplayMemory:
         self.states[slots] = get_initial_states(len(slots),
                                                 self.cfg.num_state_dim)
         if self.loss_fn is not None:
-            self.loss_in[slots] = np.asarray(self.loss_fn(
-                stack, [m["label"] for _, m in fresh_imgs]))
+            self.loss_in[slots] = self._seed_losses(
+                stack, [m["label"] for _, m in fresh_imgs])
+
+    def _seed_losses(self, stack: np.ndarray, labels) -> np.ndarray:
+        """Seed cached input losses, padding the batch to a power-of-two
+        bucket so the jitted detector forward compiles once per bucket
+        instead of once per distinct refresh count."""
+        n = stack.shape[0]
+        bucket = 1 << max(0, (n - 1).bit_length())
+        if bucket > n:
+            pad = np.zeros((bucket - n,) + stack.shape[1:], stack.dtype)
+            stack = np.concatenate([stack, pad], 0)
+            empty = (labels[0][:0] if len(labels) and labels[0].size
+                     else np.zeros((0, 5), np.float32))
+            labels = list(labels) + [empty] * (bucket - n)
+        return np.asarray(self.loss_fn(stack, labels))[:n]
 
     # ------------------------------------------------------------------ #
     def stats(self) -> Dict[str, float]:

@@ -109,7 +109,12 @@ def optimize_fixed_pipeline(cfg, stage_names: Sequence[str], yolo, yolo_vars,
     # disallow fused forward here: we differentiate every step, and the
     # custom_vjp recompute would double the work
     cfg = cfg.replace(use_pallas=False) if hasattr(cfg, "replace") else cfg
-    tx = optax.adam(lr)
+    # cosine lr decay keeps the late phase from walking out of the basin
+    # (a fixed lr measurably diverged after phase 2 under tiny numeric
+    # perturbations); best-iterate restore below makes the returned
+    # pipeline robust to any residual late-run wander
+    tx = optax.adam(optax.cosine_decay_schedule(lr, max(steps, 1),
+                                                alpha=0.1))
     raw = init_raw_params(cfg, stage_names)
     opt_state = tx.init(raw)
     step_full = make_fixed_pipeline_step(cfg, stage_names, yolo,
@@ -126,6 +131,7 @@ def optimize_fixed_pipeline(cfg, stage_names: Sequence[str], yolo, yolo_vars,
         phase1_steps = steps // 3
 
     history: List[float] = []
+    best_loss, best_raw = float("inf"), raw
     it = 0
     batch_iter = iter(batches)
     cache = []
@@ -138,15 +144,23 @@ def optimize_fixed_pipeline(cfg, stage_names: Sequence[str], yolo, yolo_vars,
             batch = next(batch_iter)
         images, targets, tmask = batch
         step = step_phase1 if it < phase1_steps else step_full
+        prev_raw = raw
         raw, opt_state, loss = step(raw, opt_state, yolo_vars, images,
                                     targets, tmask)
-        history.append(float(loss))
+        loss = float(loss)  # loss of prev_raw (pre-update iterate)
+        history.append(loss)
+        if loss < best_loss:
+            best_loss, best_raw = loss, prev_raw
         if verbose and it % log_every == 0:
             phase = "lum" if it < phase1_steps else "all"
             print(f"[fixed-pipeline {it} {phase}] detect loss "
                   f"{history[-1]:.4f}", flush=True)
         it += 1
 
+    # best-iterate restore: the returned pipeline is the lowest-loss raw
+    # seen, not the final iterate (late-run divergence cannot destroy a
+    # good baseline)
+    raw = best_raw
     squashed = []
     for i, name in enumerate(stage_names):
         spec = bank.REGISTRY[name]

@@ -91,6 +91,16 @@ class Trainer:
         self.device_replay = None
         self.cached_reward = bool(device_replay and cached_reward)
         self._train_ds = train_ds  # pool construction is deferred below
+        # static target capacity: never silently truncate a crowded image
+        # (the reference feeds ALL targets to compute_loss; pad_targets
+        # keeps min(n, t_max))
+        if getattr(train_ds, "labels", None):
+            dense = max((len(lb) for lb in train_ds.labels), default=0)
+            if dense > t_max:
+                t_max = int(np.ceil(dense / 16) * 16)
+                print(f"t_max raised to {t_max} (densest train image has "
+                      f"{dense} labels)")
+                self.t_max = t_max
         self.val_feed = None
         if val_path is not None:
             val_ds = ISPDataset(val_path, img_size=tcfg.imgsz, source=source,
@@ -207,7 +217,12 @@ class Trainer:
         t_start = time.time()
 
         device_pool = self.device_replay is not None
-        for it in range(max_iter + 1):
+        # continue from the restored optimizer step after resume():
+        # checkpoint ids keep advancing (orbax refuses duplicate steps)
+        # and the progress-annealed penalties don't rewind
+        start_it = int(jax.device_get(self.state.step))
+        for it in range(start_it, max_iter + 1):
+            k = it - start_it  # iterations THIS run (running means/ETA)
             progress = it / max(tcfg.max_iter_step, 1)
             if device_pool:
                 idx, imgs_dev, states_np, labels, paths, shapes, z = (
@@ -266,8 +281,8 @@ class Trainer:
                     self.replay.replace_memory(
                         list(retouch), feed["label"], feed["path"],
                         feed["shape"], list(new_states))
-            mloss_agent = (mloss_agent * it + float(metrics["agent_loss"])) / (it + 1)
-            mloss_value = (mloss_value * it + float(metrics["value_loss"])) / (it + 1)
+            mloss_agent = (mloss_agent * k + float(metrics["agent_loss"])) / (k + 1)
+            mloss_value = (mloss_value * k + float(metrics["value_loss"])) / (k + 1)
             self.history.append({
                 "reward": float(metrics["reward"]),
                 "penalty": float(metrics["penalty"]),
@@ -297,7 +312,7 @@ class Trainer:
                       f"penalty {float(metrics['penalty']):.3e}",
                       f"sel {names}",
                       f"pool {stats['size']}/{stats['avg_trajectory']:.2f}",
-                      f"({(time.time() - t_start) / (it + 1):.2f}s/it)")
+                      f"({(time.time() - t_start) / (k + 1):.2f}s/it)")
             if it > 0 and it % cfg.val_freq == 0 and self.val_feed is not None:
                 self.validate_trajectories(it)
             if it > 0 and it % cfg.save_model_freq == 0:
@@ -315,10 +330,17 @@ class Trainer:
         """Eval-mode rollouts on the fixed val batch with per-step dumps
         (reference train.py:383-447)."""
         feed = self.val_feed
-        roll = jit_rollout(self.agent, steps=self.cfg.test_steps,
-                           record_steps=True)
-        variables = {"params": jax.device_get(self.state).agent_params,
-                     "batch_stats": jax.device_get(self.state).agent_stats}
+        # the rollout jit is built ONCE and reused — a fresh jit_rollout
+        # closure per validation would re-trace + recompile every time
+        if not hasattr(self, "_val_roll"):
+            self._val_roll = jit_rollout(self.agent,
+                                         steps=self.cfg.test_steps,
+                                         record_steps=True)
+        roll = self._val_roll
+        # single host fetch of just the agent tree (not the optimizers)
+        params, stats = jax.device_get(
+            (self.state.agent_params, self.state.agent_stats))
+        variables = {"params": params, "batch_stats": stats}
         for b in range(min(max_images, len(feed["im"]))):
             img = jnp.asarray(feed["im"][b:b + 1])
             noises = jnp.asarray(np.stack(

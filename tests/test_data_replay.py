@@ -195,7 +195,12 @@ def test_device_replay_memory(toy_dataset_dir):
     # continuing slots hold the written image
     got = np.asarray(mem.images[idx[2]])
     np.testing.assert_allclose(got, 0.123, atol=1e-6)
-    # stopped slots are excluded from subsequent samples (refreshed on demand)
+    # stopped slots were refreshed eagerly with fresh RAWs (the reference's
+    # pop-unstopped + fill policy): reset state, non-marker image
+    assert (mem.states[idx[:2]][:, STATE_STOPPED_DIM] == 0).all()
+    for i in idx[:2]:
+        assert abs(float(jnp.mean(mem.images[i])) - 0.123) > 1e-3
+    # the pool therefore stays fully live across repeated sampling
     for _ in range(3):
         idx2, *_rest = mem.sample(4)
         st = mem.states[idx2]
@@ -262,7 +267,9 @@ def test_device_replay_memory_sharded_mesh(toy_dataset_dir):
     want = np.stack([np.asarray(mem.images[i]) for i in idx])
     np.testing.assert_allclose(np.asarray(imgs), want, atol=0)
 
-    # write back: 2 kept rows land in the right slots, others untouched
+    # write back: live rows land in their slots; stopped rows are
+    # refreshed with fresh RAWs immediately (the reference's
+    # pop-unstopped + fill policy, replay_memory.py:170-221)
     new_states = states.copy()
     new_states[:, STATE_STEP_DIM] += 1
     new_states[:2, STATE_STOPPED_DIM] = 1
@@ -270,7 +277,11 @@ def test_device_replay_memory_sharded_mesh(toy_dataset_dir):
     mem.replace(idx, marked, new_states)
     np.testing.assert_allclose(np.asarray(mem.images[idx[2]]), 0.321,
                                atol=1e-6)
-    assert (mem.states[idx[:2]][:, STATE_STOPPED_DIM] == 1).all()
+    # refreshed slots: reset state, and a fresh RAW (not the 0.321 marker)
+    assert (mem.states[idx[:2]][:, STATE_STOPPED_DIM] == 0).all()
+    assert (mem.states[idx[:2]][:, STATE_STEP_DIM] == 0).all()
+    for i in idx[:2]:
+        assert abs(float(jnp.mean(mem.images[i])) - 0.321) > 1e-3
 
     # stopped slots never sampled again; refresh path handles uneven groups
     for _ in range(3):

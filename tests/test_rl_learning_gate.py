@@ -206,7 +206,9 @@ def gate(tmp_path_factory):
         cfg, ("exposure", "improved_wb", "ccm", "gamma", "sharpen"),
         trainer.yolo, trainer.yolo_vars, anchors_in_grid_units(SPEC),
         batches, hyp=hyp, lr=3e-2, steps=250, verbose=False)
-    res["fixed_loss0"], res["fixed_lossN"] = hist[0], hist[-1]
+    # best loss, not last: optimize_fixed_pipeline restores the best
+    # iterate, so the returned stages correspond to min(hist)
+    res["fixed_loss0"], res["fixed_lossN"] = hist[0], min(hist)
     res["map_fixed"] = _map_plain_images(
         trainer.yolo, trainer.yolo_vars, val_deg, render_stages=stages,
         cfg=cfg)
@@ -255,7 +257,9 @@ class TestLearningGate:
 
     def test_fixed_pipeline_baseline_is_real(self, gate):
         """The curriculum optimizer genuinely descends the detector loss
-        and lifts mAP far above raw (the 70.1-style baseline exists)."""
+        and lifts mAP far above raw (the 70.1-style baseline exists).
+        fixed_lossN is the BEST loss — the iterate the returned pipeline
+        restores — so late-run wander cannot fail a real descent."""
         assert gate["fixed_lossN"] < gate["fixed_loss0"] - 0.2
         assert gate["map_fixed"] > gate["map_raw"] + 0.2
 

