@@ -201,7 +201,13 @@ class DetectorDataset:
             h, w = img.shape[:2]
             shape = (self.batch_shapes[self.batch_index[index]]
                      if self.rect else self.img_size)
+            # 114-gray border, the yolov3 dataloader fill (dataloaders.py
+            # letterbox default) — matches the mosaic canvas FILL so train
+            # and val see the same border statistics.  (The AdaptiveISP
+            # reference's own dataset letterboxes BLACK, dataset.py:90 —
+            # ISPDataset keeps that.)
             img, ratio, pad = letterbox(img, shape, auto=False,
+                                        color=(114 / 255,) * 3,
                                         scaleup=self.augment)
             labels = self.labels[index].copy()
             if labels.size:
@@ -263,8 +269,17 @@ class DetectorDataset:
         order = self.indices.copy()
         if shuffle and not self.rect:
             self.rng.shuffle(order)
+        bs = self.batch_size
+        if shard_count > 1 and self.rect:
+            # rect buckets require CONSECUTIVE same-bucket indices per
+            # batch (each item letterboxes to batch_shapes[batch_index]);
+            # shard whole batches round-robin instead of striding indices
+            for k in range(len(order) // bs):
+                if k % shard_count == shard_rank:
+                    yield self.collate(order[k * bs:(k + 1) * bs],
+                                       t_max=t_max)
+            return
         if shard_count > 1:
             order = order[shard_rank::shard_count]
-        bs = self.batch_size
         for k in range(len(order) // bs):
             yield self.collate(order[k * bs:(k + 1) * bs], t_max=t_max)

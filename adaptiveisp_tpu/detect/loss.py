@@ -46,7 +46,11 @@ class LossHyp:
     data/hyps/hyp.scratch-low.yaml)."""
 
     box: float = 0.05
-    obj: float = 0.64 * (512 / 640) ** 2  # imgsz-scaled (train.py:143)
+    # hyp.scratch-low obj = 1.0, scaled ONCE by (imgsz/640)^2 at the 512px
+    # protocol (train.py:246) -> 0.64.  (An earlier revision re-scaled the
+    # already-scaled 0.64 by (512/640)^2 again = 0.4096, underweighting
+    # objectness 36% vs the reference.)
+    obj: float = 1.0 * (512 / 640) ** 2
     cls: float = 0.5
     cls_pw: float = 1.0
     obj_pw: float = 1.0

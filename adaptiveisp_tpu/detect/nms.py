@@ -19,7 +19,12 @@ so this NMS:
     touch only the first block.
 
 Returns padded [N, max_det, 6] (xyxy, conf, cls) plus a validity count —
-semantically equal to the reference output for every box above threshold.
+semantically equal to the reference output for every box that survives the
+top-`max_nms` pre-selection.  NOTE: the default max_nms is 4096 vs the
+reference's 30000 (general.py:890) — a deliberate speed/HBM trade: only in
+pathologically crowded scenes do candidates beyond the top-4096 ever reach
+the top-`max_det` after suppression.  Pass max_nms=30000 for strict-parity
+evaluation (val_isp --max_nms).
 """
 
 from __future__ import annotations

@@ -48,7 +48,8 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                    merge: bool = False, plots: bool = False,
                    augment: bool = False, save_txt: bool = False,
                    save_conf: bool = False, save_hybrid: bool = False,
-                   single_cls: bool = False, max_labels: int = 128) -> Dict:
+                   single_cls: bool = False, max_labels: int = 128,
+                   max_nms: int = 4096) -> Dict:
     """Returns {'precision', 'recall', 'map50', 'map', 'speed', 'records'}.
 
     render="auto" picks the switch path (renders only the selected filter —
@@ -97,8 +98,8 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
             preds = jnp.concatenate([preds, hyb], axis=1)
         dets, nvalid = non_max_suppression(
             preds, conf_thres=conf_thres, iou_thres=iou_thres,
-            max_det=max_det, multi_label=True, merge=merge,
-            agnostic=single_cls)
+            max_det=max_det, max_nms=max_nms, multi_label=True,
+            merge=merge, agnostic=single_cls)
         return res, dets, nvalid
 
     eval_fused = jax.jit(_eval)
@@ -148,8 +149,8 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                 wpred = jnp.concatenate([wpred, whyb], axis=1)
             jax.device_get(non_max_suppression(
                 wpred, conf_thres=conf_thres, iou_thres=iou_thres,
-                max_det=max_det, multi_label=True, merge=merge,
-                agnostic=single_cls)[1])
+                max_det=max_det, max_nms=max_nms, multi_label=True,
+                merge=merge, agnostic=single_cls)[1])
         else:
             jax.device_get(eval_fused(
                 agent_variables, yolo_variables, wim, wno, wst, pipe_arr,
@@ -207,8 +208,8 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
             with profiles["nms"]:
                 dets, nvalid = non_max_suppression(
                     preds, conf_thres=conf_thres, iou_thres=iou_thres,
-                    max_det=max_det, multi_label=True, merge=merge,
-                    agnostic=single_cls)
+                    max_det=max_det, max_nms=max_nms, multi_label=True,
+                    merge=merge, agnostic=single_cls)
         else:
             with profiles["inference"]:
                 res, dets, nvalid = eval_fused(
@@ -254,8 +255,10 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                                           f"step-{s}",
                                           os.path.split(path)[1] + ".png"))
             if save_dir and save_param and bi == 0:
-                # per-image JSON: applied pipeline + each selected filter's
-                # squashed parameters (reference val_adaptiveisp.py:298-327)
+                # one JSON per BATCH keyed by its first image — exactly the
+                # reference's save_param behavior (val_adaptiveisp.py:301,
+                # 324-327 use filter_id[0] / paths[0]; the protocol runs
+                # batch 1, where per-batch == per-image)
                 from adaptiveisp_tpu.ops.bank import param_offsets
 
                 offsets = param_offsets(cfg)
@@ -283,10 +286,12 @@ def run_validation(cfg, agent, agent_variables, yolo, yolo_variables,
                 if lab.size:
                     lab[:, 0] = 0.0
             if lab.size:
-                lab[:, 1:5] = np.asarray(
-                    xywh2xyxy(jnp.asarray(lab[:, 1:5]
-                                          * np.array([w, h, w, h],
-                                                     np.float32))))
+                # pure numpy: a jnp call here costs one device dispatch
+                # PER IMAGE inside the host post-processing loop
+                xywh = lab[:, 1:5] * np.array([w, h, w, h], np.float32)
+                lab[:, 1:5] = np.concatenate(
+                    [xywh[:, :2] - xywh[:, 2:] / 2,
+                     xywh[:, :2] + xywh[:, 2:] / 2], axis=1)
             if det.shape[0]:
                 det[:, :4] = scale_boxes((h, w), det[:, :4], (h0, w0),
                                          ((rh, rw), pad))

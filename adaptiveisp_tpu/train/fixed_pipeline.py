@@ -81,7 +81,7 @@ def make_fixed_pipeline_step(cfg, stage_names: Sequence[str], yolo,
         raw = optax.apply_updates(raw, updates)
         return raw, opt_state, loss
 
-    return jax.jit(step)
+    return jax.jit(step), jax.jit(loss_fn)
 
 
 # stages whose parameters act on global luminance — safe first-phase
@@ -109,29 +109,47 @@ def optimize_fixed_pipeline(cfg, stage_names: Sequence[str], yolo, yolo_vars,
     # disallow fused forward here: we differentiate every step, and the
     # custom_vjp recompute would double the work
     cfg = cfg.replace(use_pallas=False) if hasattr(cfg, "replace") else cfg
-    # cosine lr decay keeps the late phase from walking out of the basin
-    # (a fixed lr measurably diverged after phase 2 under tiny numeric
-    # perturbations); best-iterate restore below makes the returned
-    # pipeline robust to any residual late-run wander
-    tx = optax.adam(optax.cosine_decay_schedule(lr, max(steps, 1),
-                                                alpha=0.1))
     raw = init_raw_params(cfg, stage_names)
-    opt_state = tx.init(raw)
-    step_full = make_fixed_pipeline_step(cfg, stage_names, yolo,
-                                         anchors_grid, hyp, tx)
     phase1_steps = 0
     step_phase1 = None
     lum = [n in LUMINANCE_STAGES for n in stage_names]
-    if curriculum and any(lum) and not all(lum):
+    two_phase = curriculum and any(lum) and not all(lum)
+    if two_phase:
+        phase1_steps = steps // 3
+    # phase 2 runs a GENTLER, decaying optimizer with fresh Adam state:
+    # instrumented runs show the all-stage phase converging (val mAP 0.73
+    # mid-run) and then blowing up under the constant phase-1 lr (smoothed
+    # loss 0.34 -> 1.02, render collapse) — the 5-stage objective has a
+    # collapse basin right next to the optimum
+    tx1 = optax.adam(lr)
+    tx2 = optax.adam(optax.cosine_decay_schedule(
+        lr / 3.0, max(steps - phase1_steps, 1), alpha=0.1))
+    tx_full = tx2 if two_phase else tx1
+    opt_state = tx1.init(raw)
+    step_full, eval_loss = make_fixed_pipeline_step(
+        cfg, stage_names, yolo, anchors_grid, hyp, tx_full)
+    if two_phase:
         mask = {f"{i}_{n}": jnp.float32(1.0 if n in LUMINANCE_STAGES
                                         else 0.0)
                 for i, n in enumerate(stage_names)}
-        step_phase1 = make_fixed_pipeline_step(
-            cfg, stage_names, yolo, anchors_grid, hyp, tx, grad_mask=mask)
-        phase1_steps = steps // 3
+        step_phase1, _ = make_fixed_pipeline_step(
+            cfg, stage_names, yolo, anchors_grid, hyp, tx1, grad_mask=mask)
+
+    # best-iterate tracking on a SMOOTHED objective: every eval_every
+    # steps, score the current params over several cached batches and keep
+    # the best-scoring params.  (Per-batch training losses are too noisy to
+    # rank iterates — min over them picks a lucky batch, not good params —
+    # and this 5-stage objective is nonconvex with a collapse basin, so the
+    # final iterate isn't trustworthy either.)
+    eval_every = max(1, log_every // 5)
+    best_loss, best_raw = float("inf"), raw
+
+    def smoothed(raw_now, cache):
+        take = cache[:8]
+        return float(np.mean([float(eval_loss(raw_now, yolo_vars, *b))
+                              for b in take]))
 
     history: List[float] = []
-    best_loss, best_raw = float("inf"), raw
     it = 0
     batch_iter = iter(batches)
     cache = []
@@ -143,23 +161,26 @@ def optimize_fixed_pipeline(cfg, stage_names: Sequence[str], yolo, yolo_vars,
             batch_iter = iter(cache)
             batch = next(batch_iter)
         images, targets, tmask = batch
+        if two_phase and it == phase1_steps:
+            opt_state = tx_full.init(raw)  # fresh moments for phase 2
         step = step_phase1 if it < phase1_steps else step_full
-        prev_raw = raw
         raw, opt_state, loss = step(raw, opt_state, yolo_vars, images,
                                     targets, tmask)
-        loss = float(loss)  # loss of prev_raw (pre-update iterate)
-        history.append(loss)
-        if loss < best_loss:
-            best_loss, best_raw = loss, prev_raw
+        history.append(float(loss))
+        if it % eval_every == 0 or it == steps - 1:
+            ev = smoothed(raw, cache)
+            if ev < best_loss:
+                best_loss, best_raw = ev, raw
         if verbose and it % log_every == 0:
             phase = "lum" if it < phase1_steps else "all"
             print(f"[fixed-pipeline {it} {phase}] detect loss "
-                  f"{history[-1]:.4f}", flush=True)
+                  f"{history[-1]:.4f} (best smoothed {best_loss:.4f})",
+                  flush=True)
         it += 1
 
-    # best-iterate restore: the returned pipeline is the lowest-loss raw
-    # seen, not the final iterate (late-run divergence cannot destroy a
-    # good baseline)
+    # best-iterate restore: the returned pipeline is the best SMOOTHED-loss
+    # params seen — late-run divergence or collapse cannot destroy a good
+    # baseline
     raw = best_raw
     squashed = []
     for i, name in enumerate(stage_names):

@@ -44,7 +44,7 @@ def imgsz_hyp(imgsz: int, nc: int = 80) -> LossHyp:
     """Apply the trainer's hyp scaling (reference train.py:140-144)."""
     return LossHyp(box=0.05 * 3 / 3,
                    cls=0.5 * nc / 80 * 3 / 3,
-                   obj=0.64 * (imgsz / 640) ** 2 * 3 / 3)
+                   obj=1.0 * (imgsz / 640) ** 2 * 3 / 3)
 
 
 class Trainer:

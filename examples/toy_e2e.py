@@ -92,7 +92,7 @@ def main():
     rng = np.random.RandomState(0)
     anchors = [np.asarray(MINI_SPEC["anchors"][0], np.float32).reshape(-1, 2)
                / 16]
-    hyp = LossHyp(obj=0.64 * (IMG / 640) ** 2)
+    hyp = LossHyp(obj=1.0 * (IMG / 640) ** 2)
 
     # ---- 1) train the toy detector on bright scenes ---------------------
     model, variables = create_detector(jax.random.PRNGKey(0), spec=MINI_SPEC,

@@ -77,7 +77,7 @@ def main():
                                            batch=1)
     yolo, yolo_vars = create_detector(ky, spec=spec, imgsz=imgsz)
 
-    hyp = LossHyp(obj=0.64 * (imgsz / 640) ** 2)
+    hyp = LossHyp(obj=1.0 * (imgsz / 640) ** 2)
     tx_a = make_optimizer(tcfg.lr, 100)
     tx_v = make_optimizer(tcfg.lr, 100)
     step_fn = make_train_step(agent, value, yolo, cfg, tcfg,

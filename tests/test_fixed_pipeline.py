@@ -43,7 +43,7 @@ def test_optimize_reduces_detect_loss():
     targets = jnp.asarray(np.tile([[1, 0.5, 0.5, 0.5, 0.5]], (2, 1))
                           .reshape(2, 1, 5).astype(np.float32))
     tmask = jnp.ones((2, 1), bool)
-    hyp = LossHyp(obj=0.64 * (32 / 640) ** 2)
+    hyp = LossHyp(obj=1.0 * (32 / 640) ** 2)
 
     stages, raw, history = optimize_fixed_pipeline(
         CFG, ("exposure", "gamma"), model, variables, ANCHORS,
@@ -76,7 +76,7 @@ def test_optimize_full_chain_against_real_tiny_detector():
     targets = jnp.asarray(np.tile([[2, 0.5, 0.5, 0.25, 0.25]], (2, 1))
                           .reshape(2, 1, 5).astype(np.float32))
     tmask = jnp.ones((2, 1), bool)
-    hyp = LossHyp(obj=0.64 * (64 / 640) ** 2)
+    hyp = LossHyp(obj=1.0 * (64 / 640) ** 2)
 
     chain = ("exposure", "improved_wb", "ccm", "gamma", "sharpen")
     stages, raw, history = optimize_fixed_pipeline(
@@ -105,7 +105,7 @@ def test_curriculum_masks_color_stages_first():
     targets = jnp.asarray(np.tile([[1, 0.5, 0.5, 0.5, 0.5]], (2, 1))
                           .reshape(2, 1, 5).astype(np.float32))
     tmask = jnp.ones((2, 1), bool)
-    hyp = LossHyp(obj=0.64 * (32 / 640) ** 2)
+    hyp = LossHyp(obj=1.0 * (32 / 640) ** 2)
     names = ("exposure", "improved_wb", "gamma")
 
     # the phase-1 grad mask: masked stages must NOT move, luminance must
@@ -119,8 +119,8 @@ def test_curriculum_masks_color_stages_first():
     opt = tx.init(raw)
     mask = {f"{i}_{n}": jnp.float32(1.0 if n in LUMINANCE_STAGES else 0.0)
             for i, n in enumerate(names)}
-    step = make_fixed_pipeline_step(CFG, names, model, ANCHORS, hyp, tx,
-                                    grad_mask=mask)
+    step, _ = make_fixed_pipeline_step(CFG, names, model, ANCHORS, hyp, tx,
+                                       grad_mask=mask)
     init = init_raw_params(CFG, names)
     for _ in range(5):
         raw, opt, loss = step(raw, opt, variables, imgs, targets, tmask)

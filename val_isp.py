@@ -23,6 +23,9 @@ def parse_args(argv=None):
     p.add_argument("--conf_thres", type=float, default=0.001)
     p.add_argument("--iou_thres", type=float, default=0.6)
     p.add_argument("--max_det", type=int, default=300)
+    p.add_argument("--max_nms", type=int, default=4096,
+                   help="candidate cap before suppression; 30000 = the "
+                        "reference's strict-parity value (slower)")
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--pipeline", type=int, nargs="*", default=None,
                    help="fixed filter-id sequence overriding the agent")
@@ -112,7 +115,7 @@ def run_at_size(args, imgsz):
         anno_json=args.anno_json, merge=args.merge, plots=args.plots,
         augment=args.augment, save_txt=args.save_txt,
         save_conf=args.save_conf, save_hybrid=args.save_hybrid,
-        single_cls=args.single_cls)
+        single_cls=args.single_cls, max_nms=args.max_nms)
     print(f"{'Class':>22s}{'P':>11s}{'R':>11s}{'mAP50':>11s}{'mAP50-95':>11s}")
     print(f"{'all':>22s}{res['precision']:11.3g}{res['recall']:11.3g}"
           f"{res['map50']:11.3g}{res['map']:11.3g}")
