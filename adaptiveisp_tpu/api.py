@@ -343,11 +343,9 @@ def load_value(cfg: Config = DEFAULT_CONFIG, imgsz: int = 512, seed: int = 0):
 # --------------------------------------------------------------------------- #
 def _named(spec_name, weights=None, classes: int = 80, augment: bool = False,
            names=None) -> Detector:
-    from adaptiveisp_tpu.detect.spec import (YOLOV3_SPEC, YOLOV3_TINY_SPEC,
-                                             YOLOV5S_SPEC)
+    from adaptiveisp_tpu.detect.spec import resolve_spec
 
-    spec = {"yolov3": YOLOV3_SPEC, "yolov3-tiny": YOLOV3_TINY_SPEC,
-            "yolov5s": YOLOV5S_SPEC}[spec_name]
+    spec = resolve_spec(spec_name)
     nc = None if classes == spec["nc"] else classes
     return load_detector(weights=weights, spec=spec, nc=nc, names=names,
                          augment=augment)

@@ -102,7 +102,7 @@ class SegmentDataset:
         if r != 1:
             img = resize_bilinear(img, int(round(h0 * r)),
                                   int(round(w0 * r)))
-        img, ratio, pad = letterbox(img, self.img_size, color=(0, 0, 0),
+        img, ratio, pad = letterbox(img, self.img_size, color=(114 / 255,) * 3,
                                     auto=False)
         h, w = img.shape[:2]
         ms = self.img_size // self.mask_ratio

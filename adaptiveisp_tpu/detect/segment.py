@@ -500,11 +500,9 @@ def main(argv=None):
     from adaptiveisp_tpu.data.sources import open_source
     from adaptiveisp_tpu.detect.model import (
         create_detector, decode_predictions)
-    from adaptiveisp_tpu.detect.spec import (
-        YOLOV3_SPEC, YOLOV3_TINY_SPEC, YOLOV5S_SPEC, load_spec)
+    from adaptiveisp_tpu.detect.spec import resolve_spec
 
-    base = {"yolov3": YOLOV3_SPEC, "yolov3-tiny": YOLOV3_TINY_SPEC,
-            "yolov5s": YOLOV5S_SPEC}.get(args.spec) or load_spec(args.spec)
+    base = resolve_spec(args.spec)
     spec = seg_spec_from(base, nm=args.nm, npr=args.npr)
     model, variables = create_detector(jax.random.PRNGKey(0), spec=spec,
                                        imgsz=args.imgsz)
@@ -524,7 +522,7 @@ def main(argv=None):
     sources = src if isinstance(src, list) else [src]
     for s in sources:
         for name, frame, meta in s:
-            lb, ratio, pad = letterbox(frame, args.imgsz, color=(0, 0, 0),
+            lb, ratio, pad = letterbox(frame, args.imgsz, color=(114 / 255,) * 3,
                                        auto=False)
             preds, proto = fwd(variables, jnp.asarray(lb[None]))
             dec = decode_predictions(preds, spec)
@@ -594,7 +592,10 @@ def train_main(argv=None):
                    help="hyperparameter YAML (defaults = hyp.scratch-low)")
     p.add_argument("--lr0", type=float, default=None)
     p.add_argument("--patience", type=int, default=100)
-    p.add_argument("--mask-ratio", type=int, default=4)
+    p.add_argument("--mask-ratio", type=int, default=None,
+                   help="gt-mask downsample vs imgsz; default = the "
+                        "spec's Proto resolution (first detect stride / "
+                        "2), e.g. 4 for yolov3, 8 for yolov3-tiny")
     p.add_argument("--nc", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-dir", default="runs/train-seg")
@@ -618,14 +619,21 @@ def train_main(argv=None):
     from adaptiveisp_tpu.data.segment_dataset import SegmentDataset
     from adaptiveisp_tpu.detect.hyp import load_hyp, split_hyp
     from adaptiveisp_tpu.detect.model import create_detector
-    from adaptiveisp_tpu.detect.spec import (
-        YOLOV3_SPEC, YOLOV3_TINY_SPEC, YOLOV5S_SPEC, load_spec)
+    from adaptiveisp_tpu.detect.spec import resolve_spec
 
-    base = {"yolov3": YOLOV3_SPEC, "yolov3-tiny": YOLOV3_TINY_SPEC,
-            "yolov5s": YOLOV5S_SPEC}.get(args.spec) or load_spec(args.spec)
+    base = resolve_spec(args.spec)
     if args.nc is not None:
         base = dict(base, nc=args.nc)
     spec = seg_spec_from(base, nm=args.nm, npr=args.npr)
+    if args.mask_ratio is None:
+        # the Proto tower upsamples the FIRST detect level 2x, so gt masks
+        # must be rasterized at stride/2 — hardcoding 4 only fits 3-level
+        # /8 specs and crashes e.g. yolov3-tiny (/16 first level)
+        from adaptiveisp_tpu.detect.model import model_strides
+
+        args.mask_ratio = max(1, model_strides(spec)[0] // 2)
+        print(f"mask-ratio {args.mask_ratio} (from the spec's Proto "
+              f"resolution)")
 
     hyp_dict = load_hyp(args.hyp)
     if args.lr0 is not None:

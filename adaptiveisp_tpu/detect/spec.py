@@ -200,3 +200,13 @@ def load_spec(path_or_dict) -> Dict[str, Any]:
 
 def flatten_layers(spec: Dict[str, Any]) -> List[list]:
     return list(spec["backbone"]) + list(spec["head"])
+
+
+def resolve_spec(name_or_path) -> Dict[str, Any]:
+    """Named spec ('yolov3' | 'yolov3-tiny' | 'yolov5s'), YAML path, or an
+    already-built dict — the one spec-resolution rule every CLI shares."""
+    if isinstance(name_or_path, dict):
+        return name_or_path
+    named = {"yolov3": YOLOV3_SPEC, "yolov3-tiny": YOLOV3_TINY_SPEC,
+             "yolov5s": YOLOV5S_SPEC}
+    return named.get(name_or_path) or load_spec(name_or_path)

@@ -616,11 +616,9 @@ def main(argv: Optional[Sequence[str]] = None):
     args = p.parse_args(argv)
 
     from adaptiveisp_tpu.detect.model import create_detector
-    from adaptiveisp_tpu.detect.spec import (
-        YOLOV3_SPEC, YOLOV3_TINY_SPEC, YOLOV5S_SPEC, load_spec)
+    from adaptiveisp_tpu.detect.spec import resolve_spec
 
-    spec = {"yolov3": YOLOV3_SPEC, "yolov3-tiny": YOLOV3_TINY_SPEC,
-            "yolov5s": YOLOV5S_SPEC}.get(args.spec) or load_spec(args.spec)
+    spec = resolve_spec(args.spec)
     if args.nc is not None and args.nc != spec["nc"]:
         spec = dict(spec, nc=args.nc)
 

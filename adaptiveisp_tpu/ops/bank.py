@@ -73,7 +73,30 @@ REGISTRY = {
 
 
 def filter_specs(cfg) -> Tuple[FilterSpec, ...]:
-    return tuple(REGISTRY[name] for name in cfg.filters)
+    return tuple(_resolve(cfg, REGISTRY[name]) for name in cfg.filters)
+
+
+# the curve filters' parameter counts follow cfg.curve_steps (reference
+# ToneFilter/ColorFilter derive them from cfg; the registry's 8/24 are the
+# DEFAULT curve_steps=8 values) — resolve them per-config so a custom
+# curve_steps can't silently corrupt the policy head/squash reshape
+_CFG_PARAMS = {"tone": lambda cfg: cfg.curve_steps,
+               "color": lambda cfg: 3 * cfg.curve_steps}
+
+
+def _resolve(cfg, spec: FilterSpec) -> FilterSpec:
+    fn = _CFG_PARAMS.get(spec.name)
+    if fn is None:
+        return spec
+    n = fn(cfg)
+    return spec if n == spec.n_params else dataclasses.replace(
+        spec, n_params=n)
+
+
+def get_spec(cfg, name: str) -> FilterSpec:
+    """Config-resolved registry lookup (curve filters' n_params follow
+    cfg.curve_steps)."""
+    return _resolve(cfg, REGISTRY[name])
 
 
 def short_names(cfg) -> Tuple[str, ...]:
@@ -151,7 +174,7 @@ def render_fixed(cfg, img, name: str, params):
     With masking disabled this is ``process`` without the final clip, matching
     the reference (``run`` does not clip; ``forward`` does).
     """
-    spec = REGISTRY[name]
+    spec = get_spec(cfg, name)
     mask = M.get_mask(cfg, img, None)
     return lerp(img, spec.apply(cfg, img, params), mask)
 

@@ -34,10 +34,10 @@ def get_mask(cfg, img, mask_parameters=None):
     img: [N, H, W, 3]; mask_parameters: [N, 6] raw (pre-squash) or None.
     Returns [N, H, W, 1] (or a broadcastable ones scalar when masking is off).
     """
-    if not cfg.masking:
+    if not cfg.masking or mask_parameters is None:
+        # fixed-parameter rendering has no mask head — render unmasked
+        # (the reference's Filter.run path never masks, filters.py:128-139)
         return jnp.ones((1, 1, 1, 1), dtype=img.dtype)
-
-    assert mask_parameters is not None
     mp = tanh_range(-FILTER_INPUT_RANGE, FILTER_INPUT_RANGE, initial=0)(
         mask_parameters)
     n, h, w, _ = img.shape

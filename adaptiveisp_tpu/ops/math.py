@@ -112,13 +112,43 @@ def hsv2rgb(hsv):
     return jnp.stack([r, g, b], axis=-1)
 
 
+def _adaptive_bins(size: int, out: int):
+    """torch AdaptiveAvgPool bin boundaries: bin i = [floor(i*size/out),
+    ceil((i+1)*size/out))."""
+    import math as _math
+
+    lo = [(i * size) // out for i in range(out)]
+    hi = [_math.ceil((i + 1) * size / out) for i in range(out)]
+    return lo, hi
+
+
 def adaptive_avg_pool(img, out_hw: int):
-    """torch AdaptiveAvgPool2d equivalent for NHWC when H,W divide out_hw."""
+    """torch AdaptiveAvgPool2d equivalent for NHWC.
+
+    Divisible sizes use the fast reshape-mean; any other size uses the
+    exact torch bin arithmetic via a cumulative sum + static boundary
+    gathers (the reference Value net accepts arbitrary image sizes through
+    nn.AdaptiveAvgPool2d, value.py)."""
     n, h, w, c = img.shape
-    assert h % out_hw == 0 and w % out_hw == 0, (h, w, out_hw)
-    kh, kw = h // out_hw, w // out_hw
-    x = img.reshape(n, out_hw, kh, out_hw, kw, c)
-    return x.mean(axis=(2, 4))
+    if h % out_hw == 0 and w % out_hw == 0:
+        kh, kw = h // out_hw, w // out_hw
+        x = img.reshape(n, out_hw, kh, out_hw, kw, c)
+        return x.mean(axis=(2, 4))
+
+    def pool_axis(x, axis, size):
+        cs = jnp.cumsum(x, axis=axis)
+        cs = jnp.concatenate(
+            [jnp.zeros_like(jnp.take(cs, jnp.asarray([0]), axis=axis)), cs],
+            axis=axis)
+        lo, hi = _adaptive_bins(size, out_hw)
+        sums = (jnp.take(cs, jnp.asarray(hi), axis=axis)
+                - jnp.take(cs, jnp.asarray(lo), axis=axis))
+        counts = jnp.asarray([b - a for a, b in zip(lo, hi)], x.dtype)
+        shape = [1] * x.ndim
+        shape[axis] = out_hw
+        return sums / counts.reshape(shape)
+
+    return pool_axis(pool_axis(img, 1, h), 2, w)
 
 
 def depthwise_conv3x3(img, kernel, padding="VALID"):

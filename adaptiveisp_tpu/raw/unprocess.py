@@ -143,7 +143,7 @@ def random_noise_levels_linear(key, shot_noise=None):
     return shot, jnp.exp(log_read)
 
 
-def add_read_and_shot_noise(key, image, shot_noise=0.01, read_noise=0.0005):
+def add_read_and_shot_noise(key, image, shot_noise=0.01, read_noise=0.005):
     variance = image * shot_noise + read_noise
     noise = jnp.sqrt(variance) * jax.random.normal(
         key, variance.shape, dtype=image.dtype)

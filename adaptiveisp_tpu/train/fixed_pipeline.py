@@ -35,7 +35,7 @@ def init_raw_params(cfg, stage_names: Sequence[str], key=None) -> Dict:
     the raw preimage of the identity matrix instead."""
     out = {}
     for i, name in enumerate(stage_names):
-        n = bank.REGISTRY[name].n_params
+        n = bank.get_spec(cfg, name).n_params
         if name == "ccm":
             lo, hi = cfg.ccm_range
             target = np.eye(3, dtype=np.float64).reshape(1, 9)
@@ -50,7 +50,7 @@ def render_with_raw_params(cfg, img, stage_names: Sequence[str], raw: Dict):
     """Squash each stage's raw params and run the (fused) pipeline."""
     stages = []
     for i, name in enumerate(stage_names):
-        spec = bank.REGISTRY[name]
+        spec = bank.get_spec(cfg, name)
         stages.append((name, spec.squash(cfg, raw[f"{i}_{name}"])))
     return bank.render_pipeline(cfg, img, stages)
 
@@ -184,6 +184,6 @@ def optimize_fixed_pipeline(cfg, stage_names: Sequence[str], yolo, yolo_vars,
     raw = best_raw
     squashed = []
     for i, name in enumerate(stage_names):
-        spec = bank.REGISTRY[name]
+        spec = bank.get_spec(cfg, name)
         squashed.append((name, spec.squash(cfg, raw[f"{i}_{name}"])))
     return squashed, raw, history

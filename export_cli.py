@@ -98,13 +98,10 @@ def build_export_fn(args):
 
     from adaptiveisp_tpu.detect.model import (create_detector,
                                               decode_predictions)
-    from adaptiveisp_tpu.detect.spec import (YOLOV3_SPEC, YOLOV3_TINY_SPEC,
-                                             YOLOV5S_SPEC, load_spec)
+    from adaptiveisp_tpu.detect.spec import resolve_spec
     from train_isp import load_cfg, load_yolo_variables
 
-    named = {"yolov3": YOLOV3_SPEC, "yolov3-tiny": YOLOV3_TINY_SPEC,
-             "yolov5s": YOLOV5S_SPEC}
-    spec = named.get(args.spec) or load_spec(args.spec)
+    spec = resolve_spec(args.spec)
 
     if args.model == "detector":
         model, variables = create_detector(jax.random.PRNGKey(0), spec=spec,

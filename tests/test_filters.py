@@ -244,3 +244,51 @@ def test_fixed_pipeline_runs():
     exp_only = np.asarray(bank.render_fixed(CFG, img, "exposure", stages[0][1]))
     np.testing.assert_allclose(
         exp_only, np.asarray(img) * 2 ** 0.09012079, rtol=2e-4, atol=1e-6)
+
+
+def test_adaptive_avg_pool_torch_parity_any_size():
+    """Non-divisible sizes use the exact torch bin arithmetic
+    (reference Value uses nn.AdaptiveAvgPool2d on ANY input size)."""
+    import torch
+
+    from adaptiveisp_tpu.ops.math import adaptive_avg_pool
+
+    rng = np.random.RandomState(5)
+    for h, w in [(128, 128), (416, 416), (100, 130), (65, 64)]:
+        x = rng.rand(2, h, w, 3).astype(np.float32)
+        ours = np.asarray(adaptive_avg_pool(jnp.asarray(x), 64))
+        ref = torch.nn.AdaptiveAvgPool2d((64, 64))(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_curve_filter_params_follow_curve_steps():
+    """tone/color n_params derive from cfg.curve_steps (reference
+    ToneFilter/ColorFilter); a custom value must not corrupt batches."""
+    from adaptiveisp_tpu.config import Config
+    from adaptiveisp_tpu.ops import bank
+
+    cfg16 = Config(curve_steps=16)
+    assert bank.get_spec(cfg16, "tone").n_params == 16
+    assert bank.get_spec(cfg16, "color").n_params == 48
+    # a squash at the resolved width keeps the batch dimension intact
+    feats = jnp.zeros((4, 16))
+    p = bank.get_spec(cfg16, "tone").squash(cfg16, feats)
+    assert p.shape[0] == 4
+
+
+def test_get_mask_none_params_renders_unmasked():
+    """Fixed-parameter rendering never crashes under cfg.masking=True
+    (the reference's Filter.run path is always unmasked)."""
+    from adaptiveisp_tpu.config import Config
+    from adaptiveisp_tpu.ops import bank
+    from adaptiveisp_tpu.ops.masks import get_mask
+
+    cfg = Config(masking=True)
+    img = jnp.full((1, 8, 8, 3), 0.25)
+    m = get_mask(cfg, img, None)
+    np.testing.assert_allclose(np.asarray(m), 1.0)
+    out = bank.render_fixed(cfg, img, "exposure",
+                            jnp.asarray([[1.0]], jnp.float32))
+    assert np.isfinite(np.asarray(out)).all()
