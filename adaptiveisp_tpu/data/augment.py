@@ -68,30 +68,11 @@ def _hsv2rgb(hsv: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------- #
 # Box utilities
 # --------------------------------------------------------------------------- #
-def xywhn2xyxy(x: np.ndarray, w: float, h: float, padw: float = 0.0,
-               padh: float = 0.0) -> np.ndarray:
-    """Normalized xywh -> pixel xyxy (reference general.py:747-756)."""
-    y = np.empty_like(x)
-    y[:, 0] = w * (x[:, 0] - x[:, 2] / 2) + padw
-    y[:, 1] = h * (x[:, 1] - x[:, 3] / 2) + padh
-    y[:, 2] = w * (x[:, 0] + x[:, 2] / 2) + padw
-    y[:, 3] = h * (x[:, 1] + x[:, 3] / 2) + padh
-    return y
-
-
-def xyxy2xywhn(x: np.ndarray, w: float, h: float, clip: bool = False,
-               eps: float = 0.0) -> np.ndarray:
-    """Pixel xyxy -> normalized xywh (reference general.py:759-771)."""
-    if clip:
-        x = x.copy()
-        x[:, [0, 2]] = x[:, [0, 2]].clip(0, w - eps)
-        x[:, [1, 3]] = x[:, [1, 3]].clip(0, h - eps)
-    y = np.empty_like(x)
-    y[:, 0] = ((x[:, 0] + x[:, 2]) / 2) / w
-    y[:, 1] = ((x[:, 1] + x[:, 3]) / 2) / h
-    y[:, 2] = (x[:, 2] - x[:, 0]) / w
-    y[:, 3] = (x[:, 3] - x[:, 1]) / h
-    return y
+# the host-side coordinate converters live in detect/boxes.py — ONE
+# implementation of the geometry (re-exported here for the data-path
+# callers that historically imported them from this module)
+from adaptiveisp_tpu.detect.boxes import (xywhn2xyxy,  # noqa: F401
+                                          xyxy2xywhn)
 
 
 def box_candidates(box1: np.ndarray, box2: np.ndarray, wh_thr: float = 2,

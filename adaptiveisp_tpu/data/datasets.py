@@ -298,7 +298,12 @@ class BatchFeeder:
         if self.shuffle:
             self.rng.shuffle(order)
         if self.shard_count > 1:
-            order = order[self.shard_rank::self.shard_count]
+            # drop the ragged tail FIRST so every host's slice has the
+            # same length — otherwise hosts roll into the next permutation
+            # at different times and the 'disjoint slices' guarantee
+            # breaks permanently after the first epoch
+            usable = (len(order) // self.shard_count) * self.shard_count
+            order = order[:usable][self.shard_rank::self.shard_count]
         return order
 
     def _next_indices(self, n):

@@ -48,6 +48,12 @@ def dense_on_trunk_features(w, c: int = 256, h: int = 4, wdt: int = 4):
     """Convert a torch Linear eating flattened trunk features: permute the
     input dimension from (c, h, w) order to (h, w, c) order, then transpose."""
     w = _np(w)  # [O, C*H*W]
+    if w.shape[1] != c * h * wdt:
+        # silent column truncation would produce a garbage agent — a
+        # checkpoint with a different trunk geometry must fail loudly
+        raise ValueError(
+            f"fc weight in-features {w.shape[1]} != trunk {c}x{h}x{wdt}="
+            f"{c * h * wdt}; pass the checkpoint's trunk dims explicitly")
     perm = nchw_flatten_permutation(c, h, wdt)
     return w[:, perm].transpose(1, 0)  # [I(nhwc), O]
 
@@ -55,15 +61,14 @@ def dense_on_trunk_features(w, c: int = 256, h: int = 4, wdt: int = 4):
 # --------------------------------------------------------------------------- #
 # YOLO detector
 # --------------------------------------------------------------------------- #
-def convert_yolo_state_dict(sd: Dict[str, np.ndarray], n_layers: int = 29,
+def convert_yolo_state_dict(sd: Dict[str, np.ndarray],
                             n_levels: int = 3) -> Tuple[dict, dict]:
     """ultralytics state_dict -> (params, batch_stats) for DetectionModel.
 
     Handles Conv (conv+bn), Bottleneck (cv1/cv2), and the Detect head's
-    per-level convs (``model.{last}.m.{i}``).  Repetition blocks in the spec
-    use names ``l{i}_{r}``; ultralytics flattens repeats into
-    ``model.{i}.m...``?  No — ultralytics repeats become separate sequential
-    children inside one nn.Sequential at index i, named ``model.{i}.{r}``.
+    per-level convs (``model.{last}.m.{i}``).  Layer ids come from the
+    state_dict keys themselves; spec repetition blocks (``l{i}_{r}``) map
+    from ultralytics' sequential children ``model.{i}.{r}``.
     """
     params: dict = {}
     stats: dict = {}

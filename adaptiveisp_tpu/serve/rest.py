@@ -65,6 +65,13 @@ def _make_handler(detector, size: int, conf_thres: float, isp=None):
             except Exception as e:
                 self._json(400, {"error": f"bad image: {e}"})
                 return
+            try:
+                self._infer(im)
+            except Exception as e:
+                # inference error -> 5xx JSON instead of a dropped socket
+                self._json(500, {"error": f"inference failed: {e}"})
+
+        def _infer(self, im):
             if isp is not None:
                 # letterbox FIRST so the ISP rollout always sees the fixed
                 # service size (one compile, train/eval input distribution)
@@ -138,12 +145,21 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--weights", default=None)
+    p.add_argument("--spec", default=None,
+                   help="yolov3 | yolov3-tiny | yolov5s | spec.yaml "
+                        "(e.g. a train run's AutoAnchor-refit spec)")
     p.add_argument("--isp_weights", default=None)
     p.add_argument("--imgsz", type=int, default=512)
     p.add_argument("--conf_thres", type=float, default=0.25)
     args = p.parse_args(argv)
-    srv = serve(weights=args.weights, port=args.port, size=args.imgsz,
-                conf_thres=args.conf_thres, isp_weights=args.isp_weights)
+    spec = None
+    if args.spec:
+        from adaptiveisp_tpu.detect.spec import resolve_spec
+
+        spec = resolve_spec(args.spec)
+    srv = serve(weights=args.weights, spec=spec, port=args.port,
+                size=args.imgsz, conf_thres=args.conf_thres,
+                isp_weights=args.isp_weights)
     try:
         srv._thread.join()
     except KeyboardInterrupt:

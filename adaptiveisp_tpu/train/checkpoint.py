@@ -50,6 +50,11 @@ def restore(ckpt_dir: str, template: TrainState,
     mgr = _manager(ckpt_dir)
     if step is None:
         step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        raise FileNotFoundError(
+            f"no checkpoint found under {ckpt_dir!r} (empty or missing "
+            f"checkpoint directory)")
     restored = mgr.restore(
         step, args=ocp.args.StandardRestore(template._asdict()))
     mgr.close()
