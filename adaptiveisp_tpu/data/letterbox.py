@@ -80,8 +80,14 @@ def letterbox(im: np.ndarray, new_shape=(640, 640), color=(0, 0, 0),
         im = resize_bilinear(im, new_unpad[1], new_unpad[0])
     top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
     left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
-    out = np.empty((im.shape[0] + top + bottom, im.shape[1] + left + right,
-                    im.shape[2]), dtype=im.dtype)
+    oh, ow = im.shape[0] + top + bottom, im.shape[1] + left + right
+    if im.dtype == np.float32:
+        from adaptiveisp_tpu.data.native import fill_paste_native
+
+        out = fill_paste_native(im, oh, ow, top, left, color)
+        if out is not None:
+            return out, ratio, (dw, dh)
+    out = np.empty((oh, ow, im.shape[2]), dtype=im.dtype)
     out[...] = np.asarray(color, dtype=im.dtype)
     out[top:top + im.shape[0], left:left + im.shape[1]] = im
     return out, ratio, (dw, dh)

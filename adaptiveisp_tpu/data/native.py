@@ -41,7 +41,10 @@ def get_lib():
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        if not os.path.isfile(_SO):
+        stale = (os.path.isfile(_SO) and os.path.isfile(_SRC)
+                 and os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        if not os.path.isfile(_SO) or stale:
+            # (re)build — a stale .so would silently shadow source edits
             if not os.path.isfile(_SRC) or not _build():
                 return None
         try:
@@ -70,4 +73,22 @@ def resize_bilinear_native(im: np.ndarray, out_h: int, out_w: int):
     h, w, c = im.shape
     out = np.empty((out_h, out_w, c), np.float32)
     lib.resize_bilinear_f32(_fp(im), h, w, c, _fp(out), out_h, out_w)
+    return out
+
+
+def fill_paste_native(src: np.ndarray, out_h: int, out_w: int,
+                      top: int, left: int, color):
+    """Allocate an [out_h, out_w, C] canvas filled with `color` and paste
+    `src` at (top, left) — the letterbox pad step, threaded-memcpy native.
+    Returns None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.float32)
+    h, w, c = src.shape
+    out = np.empty((out_h, out_w, c), np.float32)
+    col = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(color, np.float32), (c,)))
+    lib.fill_f32(_fp(out), out_h, out_w, c, _fp(col))
+    lib.paste_f32(_fp(src), h, w, c, _fp(out), out_h, out_w, top, left)
     return out

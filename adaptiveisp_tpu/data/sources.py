@@ -46,13 +46,28 @@ class ImageSource:
             self.files = parse_image_list(source)
         if not self.files:
             raise FileNotFoundError(f"no images found for {source!r}")
+        # artifact names: basenames, disambiguated with parent-dir prefixes
+        # when a recursive listing repeats a filename (a/img.png and
+        # b/img.png must not overwrite each other's artifacts)
+        names = [os.path.split(p)[1] for p in self.files]
+        if len(set(names)) != len(names):
+            seen = {}
+            for i, (p, n) in enumerate(zip(self.files, names)):
+                if names.count(n) > 1:
+                    parent = os.path.basename(os.path.dirname(p))
+                    names[i] = f"{parent}_{n}" if parent else n
+                key = names[i]
+                if key in seen:  # still colliding: index-suffix
+                    names[i] = f"{i}_{key}"
+                seen[names[i]] = True
+        self.names = names
 
     def __len__(self):
         return len(self.files)
 
     def __iter__(self) -> Iterator[Frame]:
         for i, path in enumerate(self.files):
-            yield (os.path.split(path)[1], _imread_rgb(path),
+            yield (self.names[i], _imread_rgb(path),
                    {"kind": "image", "index": i, "total": len(self.files),
                     "fps": 0.0, "src": path})
 
@@ -181,8 +196,23 @@ def open_source(source: str, vid_stride: int = 1,
     s = str(source)
     if s.endswith(".streams") and os.path.isfile(s):
         urls = [u.strip() for u in open(s).read().splitlines() if u.strip()]
-        return [StreamSource(u, max_frames=max_frames,
-                             vid_stride=vid_stride) for u in urls]
+        sources, opened = [], []
+        try:
+            for u in urls:
+                src = StreamSource(u, max_frames=max_frames,
+                                   vid_stride=vid_stride)
+                opened.append(src)
+                sources.append(src)
+        except Exception:
+            # one unreachable URL must not leak the already-started
+            # readers' threads/captures
+            for src in opened:
+                try:
+                    src.stop()
+                except Exception:
+                    pass
+            raise
+        return sources
     if s.isnumeric() or s.lower().startswith(STREAM_PREFIXES):
         return StreamSource(s, max_frames=max_frames, vid_stride=vid_stride)
     if os.path.splitext(s)[1].lower() in VIDEO_EXTS:

@@ -19,9 +19,20 @@ import jax.numpy as jnp
 from jax import export as jexport
 
 
-def export_stablehlo(fn, example_args, path: str) -> str:
-    """Serialize jit(fn) at the example shapes to a StableHLO artifact."""
-    exported = jexport.export(jax.jit(fn))(*example_args)
+def export_stablehlo(fn, example_args, path: str,
+                     platforms=("cpu", "tpu")) -> str:
+    """Serialize jit(fn) at the example shapes to a StableHLO artifact.
+
+    ``platforms`` requests a MULTI-platform lowering — without it,
+    jax.export embeds only the exporting backend's lowering and the
+    artifact refuses to load anywhere else (the portability this module
+    promises).  Falls back to the current backend when a requested
+    platform has no lowering rule for some primitive."""
+    try:
+        exported = jexport.export(
+            jax.jit(fn), platforms=list(platforms))(*example_args)
+    except Exception:
+        exported = jexport.export(jax.jit(fn))(*example_args)
     blob = exported.serialize()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:

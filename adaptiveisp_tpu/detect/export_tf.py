@@ -184,9 +184,18 @@ def run_tflite(path: str, *args):
     tf = _require_tf()
     import numpy as np
 
+    def _positional(names):
+        # numeric sort on the trailing index: lexicographic breaks at 11+
+        # tensors (input_10 < input_2)
+        def key(n):
+            tail = n.rsplit("_", 1)[-1]
+            return (0, int(tail)) if tail.isdigit() else (1, n)
+
+        return sorted(names, key=key)
+
     interp = tf.lite.Interpreter(model_path=path)
     runner = interp.get_signature_runner("serving_default")
-    in_names = sorted(runner.get_input_details())
+    in_names = _positional(runner.get_input_details())
     if len(in_names) != len(args):
         raise ValueError(f"model expects {len(in_names)} inputs "
                          f"({in_names}), got {len(args)}")
@@ -197,7 +206,7 @@ def run_tflite(path: str, *args):
     result = runner(**feeds)
     # signature outputs are named output_0..output_N (tuple returns) or a
     # single unnamed output; restore positional order by name.
-    outs = tuple(result[k] for k in sorted(result))
+    outs = tuple(result[k] for k in _positional(list(result)))
     return outs[0] if len(outs) == 1 else outs
 
 

@@ -48,12 +48,16 @@ class TritonRemoteModel:
     """
 
     def __init__(self, url: str, model_name: Optional[str] = None):
+        if "://" not in url:
+            url = "http://" + url  # bare host:port
         parsed = urlparse(url)
         if parsed.scheme == "grpc":
             raise NotImplementedError(
                 "grpc:// needs the tritonclient package (not shipped); "
                 "use the http:// KServe v2 endpoint")
-        self.base = f"http://{parsed.netloc or parsed.path}"
+        if parsed.scheme not in ("http", "https"):
+            raise ValueError(f"unsupported scheme {parsed.scheme!r}")
+        self.base = f"{parsed.scheme}://{parsed.netloc}"
         if model_name is None:
             index = self._post_json("/v2/repository/index", {})
             if not index:
@@ -92,7 +96,9 @@ class TritonRemoteModel:
             tensors = {i["name"]: np.asarray(kwargs[i["name"]])
                        for i in inputs}
 
-        body, header = _encode_infer_request(tensors)
+        body, header = _encode_infer_request(
+            tensors, output_names=[o["name"]
+                                   for o in self.metadata["outputs"]])
         raw = self._post_raw(
             f"/v2/models/{self.model_name}/infer", body,
             {"Content-Type": "application/octet-stream",
@@ -118,16 +124,26 @@ class TritonRemoteModel:
         req = urllib.request.Request(self.base + path, data=body,
                                      headers=headers)
         with urllib.request.urlopen(req) as r:
-            return r.read(), dict(r.headers)
+            # lowercase the header keys: dict() loses HTTPMessage's
+            # case-insensitivity and proxies may rewrite the casing
+            return r.read(), {k.lower(): v for k, v in r.headers.items()}
 
 
 # --------------------------------------------------------------------------- #
 # KServe v2 wire format (JSON header + concatenated binary tensor blobs)
 # --------------------------------------------------------------------------- #
-def _encode_infer_request(tensors: Dict[str, np.ndarray]
-                          ) -> Tuple[bytes, int]:
-    """-> (body, json_header_length) with binary_data_size extensions."""
+def _encode_infer_request(tensors: Dict[str, np.ndarray],
+                          output_names=None) -> Tuple[bytes, int]:
+    """-> (body, json_header_length) with binary_data_size extensions.
+
+    output_names (when given) adds an outputs section requesting
+    binary_data — without it Triton JSON-embeds output tensors (failing
+    outright for FP16 and bloating large outputs)."""
     header = {"inputs": []}
+    if output_names:
+        header["outputs"] = [
+            {"name": n, "parameters": {"binary_data": True}}
+            for n in output_names]
     blobs = []
     for name, arr in tensors.items():
         arr = np.ascontiguousarray(arr)
@@ -146,7 +162,9 @@ def _encode_infer_request(tensors: Dict[str, np.ndarray]
 def _decode_infer_response(raw: Tuple[bytes, Dict[str, str]]
                            ) -> Dict[str, np.ndarray]:
     body, headers = raw
-    hlen = headers.get("Inference-Header-Content-Length")
+    # case-insensitive header lookup (proxies rewrite casing)
+    hlen = next((v for k, v in headers.items()
+                 if k.lower() == "inference-header-content-length"), None)
     hlen = int(hlen) if hlen else len(body)
     meta = json.loads(body[:hlen])
     out: Dict[str, np.ndarray] = {}

@@ -79,8 +79,10 @@ def _calibration_batches(args, n=8):
 
         batches = []
         for _, im, _ in ImageSource(args.calib_images):
-            im, _, _ = letterbox(im.astype(np.float32) / 255.0,
-                                 args.imgsz, auto=False)
+            # ImageSource frames are ALREADY float32 in [0, 1] — dividing
+            # by 255 again fed near-black images to the int8 calibrator
+            im, _, _ = letterbox(im.astype(np.float32), args.imgsz,
+                                 auto=False)
             batches.append(np.broadcast_to(
                 im[None], shape).astype(np.float32))
             if len(batches) >= n:
