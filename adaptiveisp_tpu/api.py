@@ -359,8 +359,48 @@ def yolov3_tiny(weights=None, classes: int = 80, **kw) -> Detector:
     return _named("yolov3-tiny", weights, classes, **kw)
 
 
+def yolov3_spp(weights=None, classes: int = 80, **kw) -> Detector:
+    return _named("yolov3-spp", weights, classes, **kw)
+
+
+def yolov5n(weights=None, classes: int = 80, **kw) -> Detector:
+    return _named("yolov5n", weights, classes, **kw)
+
+
 def yolov5s(weights=None, classes: int = 80, **kw) -> Detector:
     return _named("yolov5s", weights, classes, **kw)
+
+
+def yolov5m(weights=None, classes: int = 80, **kw) -> Detector:
+    return _named("yolov5m", weights, classes, **kw)
+
+
+def yolov5l(weights=None, classes: int = 80, **kw) -> Detector:
+    return _named("yolov5l", weights, classes, **kw)
+
+
+def yolov5x(weights=None, classes: int = 80, **kw) -> Detector:
+    return _named("yolov5x", weights, classes, **kw)
+
+
+def yolov5n6(weights=None, classes: int = 80, **kw) -> Detector:
+    return _named("yolov5n6", weights, classes, **kw)
+
+
+def yolov5s6(weights=None, classes: int = 80, **kw) -> Detector:
+    return _named("yolov5s6", weights, classes, **kw)
+
+
+def yolov5m6(weights=None, classes: int = 80, **kw) -> Detector:
+    return _named("yolov5m6", weights, classes, **kw)
+
+
+def yolov5l6(weights=None, classes: int = 80, **kw) -> Detector:
+    return _named("yolov5l6", weights, classes, **kw)
+
+
+def yolov5x6(weights=None, classes: int = 80, **kw) -> Detector:
+    return _named("yolov5x6", weights, classes, **kw)
 
 
 def custom(path, spec=None, **kw) -> Detector:

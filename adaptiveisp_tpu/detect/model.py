@@ -25,7 +25,13 @@ from adaptiveisp_tpu.detect.layers import (
     Bottleneck,
     BottleneckCSP,
     ConvBNAct,
+    CrossConv,
+    DWConv,
     Focus,
+    GhostBottleneck,
+    GhostConv,
+    contract,
+    expand,
     max_pool,
     upsample_nearest_2x,
 )
@@ -147,6 +153,61 @@ class DetectionModel(nn.Module):
                 cls = C3 if mod == "C3" else BottleneckCSP
                 y = cls(ch(args[0]), n=num, shortcut=shortcut, act=act,
                         dtype=self.dtype, name=f"l{i}")(inp, train=train)
+            elif mod in ("C3x", "C3TR", "C3Ghost"):
+                # same repeat-count folding as C3 (parse_model yolo.py:325)
+                shortcut = args[1] if len(args) > 1 else True
+                variant = {"C3x": "cross", "C3TR": "transformer",
+                           "C3Ghost": "ghost"}[mod]
+                y = C3(ch(args[0]), n=num, shortcut=shortcut, act=act,
+                       variant=variant, dtype=self.dtype,
+                       name=f"l{i}")(inp, train=train)
+            elif mod == "C3SPP":
+                # NOT in parse_model's insert(2, n) set — num repeats the
+                # whole module sequentially (yolo.py:346)
+                k = tuple(args[1]) if len(args) > 1 else (5, 9, 13)
+                y = inp
+                for r in range(num):
+                    y = C3(ch(args[0]), variant="spp", k_spp=k, act=act,
+                           dtype=self.dtype, name=f"l{i}_{r}" if num > 1
+                           else f"l{i}")(y, train=train)
+            elif mod == "DWConv":
+                c2, k = ch(args[0]), args[1] if len(args) > 1 else 1
+                s = args[2] if len(args) > 2 else 1
+                y = inp
+                for r in range(num):
+                    y = DWConv(c2, k, s, act=act, dtype=self.dtype,
+                               name=f"l{i}_{r}" if num > 1
+                               else f"l{i}")(y, train=train)
+            elif mod == "GhostConv":
+                c2, k = ch(args[0]), args[1] if len(args) > 1 else 1
+                s = args[2] if len(args) > 2 else 1
+                y = inp
+                for r in range(num):
+                    y = GhostConv(c2, k, s, act=act, dtype=self.dtype,
+                                  name=f"l{i}_{r}" if num > 1
+                                  else f"l{i}")(y, train=train)
+            elif mod == "GhostBottleneck":
+                c2, k = ch(args[0]), args[1] if len(args) > 1 else 3
+                s = args[2] if len(args) > 2 else 1
+                y = inp
+                for r in range(num):
+                    y = GhostBottleneck(c2, k, s, act=act, dtype=self.dtype,
+                                        name=f"l{i}_{r}" if num > 1
+                                        else f"l{i}")(y, train=train)
+            elif mod == "CrossConv":
+                c2, k = ch(args[0]), args[1] if len(args) > 1 else 3
+                s = args[2] if len(args) > 2 else 1
+                e = args[4] if len(args) > 4 else 1.0
+                shortcut = args[5] if len(args) > 5 else False
+                y = inp
+                for r in range(num):
+                    y = CrossConv(c2, k, s, e=e, shortcut=shortcut, act=act,
+                                  dtype=self.dtype, name=f"l{i}_{r}"
+                                  if num > 1 else f"l{i}")(y, train=train)
+            elif mod == "Contract":
+                y = contract(inp, args[0] if args else 2)
+            elif mod == "Expand":
+                y = expand(inp, args[0] if args else 2)
             elif mod == "SPP":
                 y = SPP(ch(args[0]), k=tuple(args[1]) if len(args) > 1
                         else (5, 9, 13), act=act, dtype=self.dtype,
@@ -203,8 +264,16 @@ def model_strides(spec=None, imgsz: int = 256) -> Tuple[int, ...]:
             s_in = [cur if j == -1 else per_layer[j] for j in frm]
         if mod == "Conv":
             s = s_in * args[2]
+        elif mod in ("DWConv", "GhostConv"):
+            s = s_in * (args[2] if len(args) > 2 else 1)
+        elif mod in ("GhostBottleneck", "CrossConv"):
+            s = s_in * (args[2] if len(args) > 2 else 1)
         elif mod == "Focus":
             s = s_in * 2 * (args[2] if len(args) > 2 else 1)
+        elif mod == "Contract":
+            s = s_in * (args[0] if args else 2)
+        elif mod == "Expand":
+            s = s_in // (args[0] if args else 2)
         elif mod == "Upsample":
             s = s_in // 2
         elif mod == "MaxPool":
@@ -213,7 +282,7 @@ def model_strides(spec=None, imgsz: int = 256) -> Tuple[int, ...]:
             s = s_in[0]
         elif mod in ("Detect", "Segment"):
             return tuple(int(v) for v in s_in)
-        else:  # Bottleneck/C3/CSP/SPP(F)/ZeroPad/Identity: stride-neutral
+        else:  # Bottleneck/C3 family/CSP/SPP(F)/ZeroPad/Identity: neutral
             s = s_in
         per_layer.append(s)
         cur = s
