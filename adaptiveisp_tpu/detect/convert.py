@@ -62,13 +62,16 @@ def dense_on_trunk_features(w, c: int = 256, h: int = 4, wdt: int = 4):
 # YOLO detector
 # --------------------------------------------------------------------------- #
 def convert_yolo_state_dict(sd: Dict[str, np.ndarray],
-                            n_levels: int = 3) -> Tuple[dict, dict]:
+                            n_levels: int | None = None) -> Tuple[dict, dict]:
     """ultralytics state_dict -> (params, batch_stats) for DetectionModel.
 
-    Handles Conv (conv+bn), Bottleneck (cv1/cv2), and the Detect head's
-    per-level convs (``model.{last}.m.{i}``).  Layer ids come from the
-    state_dict keys themselves; spec repetition blocks (``l{i}_{r}``) map
-    from ultralytics' sequential children ``model.{i}.{r}``.
+    Handles Conv/DWConv (conv+bn), Bottleneck/CrossConv/SPP(F)/GhostConv
+    (cv1/cv2), Focus, BottleneckCSP, the C3 family incl. the Ghost and
+    Transformer inner blocks (common.py:142-258), the Segment Proto tower,
+    and the Detect/Segment head's per-level convs (``model.{last}.m.{i}``,
+    level count auto-detected).  Layer ids come from the state_dict keys
+    themselves; spec repetition blocks (``l{i}_{r}``) map from ultralytics'
+    sequential children ``model.{i}.{r}``.
     """
     params: dict = {}
     stats: dict = {}
@@ -91,6 +94,49 @@ def convert_yolo_state_dict(sd: Dict[str, np.ndarray],
         put(stats, path_flax + ("bn", "var"),
             _np(sd[f"{prefix_torch}.bn.running_var"]))
 
+    def convert_ghost_conv(prefix_torch, path_flax):
+        convert_convbn(f"{prefix_torch}.cv1", path_flax + ("cv1",))
+        convert_convbn(f"{prefix_torch}.cv2", path_flax + ("cv2",))
+
+    def convert_ghost_bottleneck(prefix_torch, path_flax):
+        # torch GhostBottleneck: conv = Sequential(GhostConv, [DWConv],
+        # GhostConv); shortcut = Sequential(DWConv, Conv) when striding
+        convert_ghost_conv(f"{prefix_torch}.conv.0", path_flax + ("conv0",))
+        if f"{prefix_torch}.conv.1.conv.weight" in sd:
+            convert_convbn(f"{prefix_torch}.conv.1", path_flax + ("conv1",))
+            convert_convbn(f"{prefix_torch}.shortcut.0",
+                           path_flax + ("short0",))
+            convert_convbn(f"{prefix_torch}.shortcut.1",
+                           path_flax + ("short1",))
+        convert_ghost_conv(f"{prefix_torch}.conv.2", path_flax + ("conv2",))
+
+    def convert_transformer_block(prefix_torch, path_flax):
+        # torch TransformerBlock: [conv], linear (pos embed), tr.{r} layers
+        if f"{prefix_torch}.conv.conv.weight" in sd:
+            convert_convbn(f"{prefix_torch}.conv", path_flax + ("conv",))
+        put(params, path_flax + ("linear", "kernel"),
+            linear_weight(sd[f"{prefix_torch}.linear.weight"]))
+        put(params, path_flax + ("linear", "bias"),
+            _np(sd[f"{prefix_torch}.linear.bias"]))
+        r = 0
+        while f"{prefix_torch}.tr.{r}.q.weight" in sd:
+            base, dst = f"{prefix_torch}.tr.{r}", path_flax + (f"tr{r}",)
+            for lin in ("q", "k", "v", "fc1", "fc2"):
+                put(params, dst + (lin, "kernel"),
+                    linear_weight(sd[f"{base}.{lin}.weight"]))
+            w3 = _np(sd[f"{base}.ma.in_proj_weight"])
+            b3 = _np(sd[f"{base}.ma.in_proj_bias"])
+            c = w3.shape[1]
+            for j, lin in enumerate(("in_q", "in_k", "in_v")):
+                put(params, dst + (lin, "kernel"),
+                    w3[j * c:(j + 1) * c].transpose(1, 0))
+                put(params, dst + (lin, "bias"), b3[j * c:(j + 1) * c])
+            put(params, dst + ("out_proj", "kernel"),
+                linear_weight(sd[f"{base}.ma.out_proj.weight"]))
+            put(params, dst + ("out_proj", "bias"),
+                _np(sd[f"{base}.ma.out_proj.bias"]))
+            r += 1
+
     keys = list(sd.keys())
     layer_ids = sorted({int(k.split(".")[1]) for k in keys
                         if k.startswith("model.")})
@@ -99,11 +145,21 @@ def convert_yolo_state_dict(sd: Dict[str, np.ndarray],
     for i in layer_ids:
         lk = [k for k in keys if k.startswith(f"model.{i}.")]
         if i == detect_idx:
-            for lvl in range(n_levels):
+            lvls = sorted({int(k.split(".")[3]) for k in lk
+                           if k.split(".")[2] == "m"
+                           and k.split(".")[3].isdigit()})
+            if n_levels is not None:
+                lvls = list(range(n_levels))
+            for lvl in lvls:
                 put(params, (f"l{i}", f"m{lvl}", "kernel"),
                     conv_weight(sd[f"model.{i}.m.{lvl}.weight"]))
                 put(params, (f"l{i}", f"m{lvl}", "bias"),
                     _np(sd[f"model.{i}.m.{lvl}.bias"]))
+            if f"model.{i}.proto.cv1.conv.weight" in sd:
+                # Segment head's Proto tower (common.py:838-848)
+                for cv in ("cv1", "cv2", "cv3"):
+                    convert_convbn(f"model.{i}.proto.{cv}",
+                                   (f"l{i}", "proto", cv))
             continue
         # repeated blocks: "model.{i}.{r}.cv1..." ; single: "model.{i}.cv1..."
         rep_ids = sorted({int(k.split(".")[2]) for k in lk
@@ -112,7 +168,9 @@ def convert_yolo_state_dict(sd: Dict[str, np.ndarray],
             for r in rep_ids:
                 base = f"model.{i}.{r}"
                 name = f"l{i}_{r}"
-                if f"{base}.cv1.conv.weight" in sd:
+                if f"{base}.conv.0.cv1.conv.weight" in sd:
+                    convert_ghost_bottleneck(base, (name,))
+                elif f"{base}.cv1.conv.weight" in sd:
                     convert_convbn(f"{base}.cv1", (name, "cv1"))
                     convert_convbn(f"{base}.cv2", (name, "cv2"))
                 else:
@@ -142,15 +200,32 @@ def convert_yolo_state_dict(sd: Dict[str, np.ndarray],
                         convert_convbn(f"model.{i}.m.{r}.{cv}",
                                        (f"l{i}", f"m{r}", cv))
             elif f"model.{i}.cv3.conv.weight" in sd:
-                # C3 (common.py:156-167): cv1/cv2/cv3 Conv+BN + m.{r}
+                # C3 family (common.py:156-198): cv1/cv2/cv3 Conv+BN + an
+                # inner block whose type the keys reveal — Bottleneck or
+                # CrossConv m.{r}.cv1/cv2 (identical layout), GhostBottleneck
+                # m.{r}.conv.0..., or one TransformerBlock at m (C3TR)
                 for cv in ("cv1", "cv2", "cv3"):
                     convert_convbn(f"model.{i}.{cv}", (f"l{i}", cv))
+                if f"model.{i}.m.linear.weight" in sd:
+                    convert_transformer_block(f"model.{i}.m", (f"l{i}", "m"))
+                elif f"model.{i}.m.cv1.conv.weight" in sd and not mrep:
+                    # C3SPP: m = a single SPP module (common.py:186-191)
+                    convert_convbn(f"model.{i}.m.cv1", (f"l{i}", "m", "cv1"))
+                    convert_convbn(f"model.{i}.m.cv2", (f"l{i}", "m", "cv2"))
                 for r in mrep:
-                    for cv in ("cv1", "cv2"):
-                        convert_convbn(f"model.{i}.m.{r}.{cv}",
-                                       (f"l{i}", f"m{r}", cv))
+                    if f"model.{i}.m.{r}.conv.0.cv1.conv.weight" in sd:
+                        convert_ghost_bottleneck(f"model.{i}.m.{r}",
+                                                 (f"l{i}", f"m{r}"))
+                    else:
+                        for cv in ("cv1", "cv2"):
+                            convert_convbn(f"model.{i}.m.{r}.{cv}",
+                                           (f"l{i}", f"m{r}", cv))
+            elif f"model.{i}.conv.0.cv1.conv.weight" in sd:
+                # standalone GhostBottleneck row
+                convert_ghost_bottleneck(f"model.{i}", (f"l{i}",))
             elif f"model.{i}.cv1.conv.weight" in sd:
-                # Bottleneck / SPP / SPPF: cv1 + cv2 Conv+BN pairs
+                # Bottleneck / CrossConv / SPP / SPPF / GhostConv:
+                # cv1 + cv2 Conv+BN pairs
                 convert_convbn(f"model.{i}.cv1", (f"l{i}", "cv1"))
                 convert_convbn(f"model.{i}.cv2", (f"l{i}", "cv2"))
             elif f"model.{i}.conv.conv.weight" in sd:

@@ -386,6 +386,139 @@ def test_hub_constructor_covers_new_families():
     assert len(out.xyxy) == 1
 
 
+# --------------------------------------------------------------------------- #
+# torch-checkpoint conversion coverage for the new layer families
+# --------------------------------------------------------------------------- #
+def _emit_sd_from_flax(params, stats):
+    """Fabricate an ultralytics-layout state_dict from flax variables
+    (inverse of convert_yolo_state_dict) for roundtrip testing."""
+    sd = {}
+
+    def convbn(prefix, p, s):
+        sd[f"{prefix}.conv.weight"] = np.transpose(
+            np.asarray(p["conv"]["kernel"]), (3, 2, 0, 1))
+        sd[f"{prefix}.bn.weight"] = np.asarray(p["bn"]["scale"])
+        sd[f"{prefix}.bn.bias"] = np.asarray(p["bn"]["bias"])
+        sd[f"{prefix}.bn.running_mean"] = np.asarray(s["bn"]["mean"])
+        sd[f"{prefix}.bn.running_var"] = np.asarray(s["bn"]["var"])
+
+    def transformer(prefix, p):
+        sd[f"{prefix}.linear.weight"] = np.asarray(
+            p["linear"]["kernel"]).T
+        sd[f"{prefix}.linear.bias"] = np.asarray(p["linear"]["bias"])
+        for name, tp in p.items():
+            if not name.startswith("tr"):
+                continue
+            r = name[2:]
+            for lin in ("q", "k", "v", "fc1", "fc2"):
+                sd[f"{prefix}.tr.{r}.{lin}.weight"] = np.asarray(
+                    tp[lin]["kernel"]).T
+            sd[f"{prefix}.tr.{r}.ma.in_proj_weight"] = np.concatenate(
+                [np.asarray(tp[k]["kernel"]).T
+                 for k in ("in_q", "in_k", "in_v")], 0)
+            sd[f"{prefix}.tr.{r}.ma.in_proj_bias"] = np.concatenate(
+                [np.asarray(tp[k]["bias"]) for k in ("in_q", "in_k",
+                                                     "in_v")], 0)
+            sd[f"{prefix}.tr.{r}.ma.out_proj.weight"] = np.asarray(
+                tp["out_proj"]["kernel"]).T
+            sd[f"{prefix}.tr.{r}.ma.out_proj.bias"] = np.asarray(
+                tp["out_proj"]["bias"])
+
+    def node(prefix, p, s):
+        if "conv" in p and "kernel" in p.get("conv", {}):
+            convbn(prefix, p, s)
+        elif "linear" in p:
+            transformer(prefix, p)
+        elif "conv0" in p:   # GhostBottleneck
+            remap = {"conv0": "conv.0", "conv1": "conv.1",
+                     "conv2": "conv.2", "short0": "shortcut.0",
+                     "short1": "shortcut.1"}
+            for k, sub in p.items():
+                node(f"{prefix}.{remap[k]}", sub, s[k])
+        else:
+            for k, sub in p.items():
+                if k.startswith("m") and k[1:].isdigit():
+                    tk = f"m.{k[1:]}"
+                elif k == "m":
+                    tk = "m"
+                else:
+                    tk = k
+                node(f"{prefix}.{tk}", sub, s.get(k, {}))
+
+    for name, p in params.items():
+        i = int(name[1:].split("_")[0])
+        rep = name.split("_")[1] if "_" in name else None
+        prefix = f"model.{i}.{rep}" if rep is not None else f"model.{i}"
+        if any(k.startswith("m") and "kernel" in v and "bias" in v
+               for k, v in p.items() if isinstance(v, dict)):
+            # Detect head: per-level 1x1 convs with bias
+            for k, v in p.items():
+                sd[f"model.{i}.m.{k[1:]}.weight"] = np.transpose(
+                    np.asarray(v["kernel"]), (3, 2, 0, 1))
+                sd[f"model.{i}.m.{k[1:]}.bias"] = np.asarray(v["bias"])
+            continue
+        node(prefix, p, stats.get(name, {}))
+    return sd
+
+
+GHOST_TINY_SPEC = {
+    "nc": 2, "depth_multiple": 1.0, "width_multiple": 1.0,
+    "anchors": [[10, 13, 16, 30, 33, 23]],
+    "backbone": [
+        [-1, 1, "Conv", [8, 3, 2]],
+        [-1, 1, "GhostConv", [16, 3, 2]],
+        [-1, 2, "C3Ghost", [16]],
+        [-1, 1, "GhostBottleneck", [16, 3, 2]],  # strided: DW+PW shortcut
+        [-1, 1, "DWConv", [16, 3, 1]],
+    ],
+    "head": [[[4], 1, "Detect", ["nc", "anchors"]]],
+}
+
+TR_TINY_SPEC = {
+    "nc": 2, "depth_multiple": 1.0, "width_multiple": 1.0,
+    "anchors": [[10, 13, 16, 30, 33, 23]],
+    "backbone": [
+        [-1, 1, "Conv", [8, 3, 2]],
+        [-1, 1, "Conv", [16, 3, 2]],
+        [-1, 2, "C3TR", [16]],
+        [-1, 1, "C3x", [16]],
+    ],
+    "head": [[[3], 1, "Detect", ["nc", "anchors"]]],
+}
+
+
+@pytest.mark.parametrize("spec", [GHOST_TINY_SPEC, TR_TINY_SPEC],
+                         ids=["ghost", "transformer"])
+def test_state_dict_conversion_roundtrip_new_layers(spec):
+    model, variables = create_detector(jax.random.PRNGKey(2), spec=spec,
+                                       imgsz=32)
+    sd = _emit_sd_from_flax(variables["params"], variables["batch_stats"])
+    new_params, new_stats = C.convert_yolo_state_dict(sd)
+    x = jnp.asarray(RNG.rand(1, 32, 32, 3).astype(np.float32))
+    want = model.apply(variables, x, train=False)
+    got = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, new_params),
+         "batch_stats": jax.tree_util.tree_map(jnp.asarray, new_stats)},
+        x, train=False)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_seg_zoo_composes_from_any_named_spec():
+    """The reference's five *-seg.yaml models differ from the detection
+    YAMLs only in the Segment head row — seg_spec_from() composes them."""
+    from adaptiveisp_tpu.detect.segment import seg_spec_from
+
+    spec = seg_spec_from(named_specs()["yolov5n"])
+    assert spec["head"][-1][2] == "Segment"
+    model, variables = create_detector(jax.random.PRNGKey(0),
+                                       spec=dict(spec, nc=3), nc=3,
+                                       imgsz=64)
+    x = jnp.asarray(RNG.rand(1, 64, 64, 3).astype(np.float32))
+    preds, proto = model.apply(variables, x, train=False)
+    assert len(preds) == 3 and proto.shape[-1] == 32
+
+
 def test_c3_variant_param_structure():
     """C3TR nests its TransformerBlock under `m`; sequential variants use
     m0..m{n-1} (mirrors torch C3TR.m / C3.m.{i} naming for conversion)."""
