@@ -25,7 +25,12 @@ from adaptiveisp_tpu.train import checkpoint as ckpt_lib
 
 def run_hr_validation(cfg, tcfg, data, model_weights: Optional[str],
                       save_dir: str, steps: int = 5, yolo_variables=None,
-                      max_images: int = -1):
+                      max_images: int = -1, spatial_shard: int = 1):
+    """``spatial_shard > 1`` spreads each full-resolution frame's ROWS over
+    that many devices (sp axis, train/mesh.make_mesh_2d): the policy still
+    reads the 512px proxy, but the big-frame filter application rides every
+    chip's HBM.  Sharding propagates through the agent's high_res path;
+    GSPMD inserts the halo exchanges for the windowed filters."""
     image_dir = os.path.join(save_dir, "val-images")
     for i in range(steps):
         os.makedirs(os.path.join(image_dir, f"step-{i}"), exist_ok=True)
@@ -57,12 +62,21 @@ def run_hr_validation(cfg, tcfg, data, model_weights: Optional[str],
     rng = np.random.RandomState(0)
     n_total = len(ds) if max_images < 0 else min(max_images, len(ds))
 
+    hr_sharding = None
+    if spatial_shard > 1:
+        from adaptiveisp_tpu.train.mesh import (
+            make_mesh_2d, spatial_image_sharding)
+
+        hr_sharding = spatial_image_sharding(make_mesh_2d(1, spatial_shard))
+
     for i in range(n_total):
         rec = ds[i]
         img = jnp.asarray(rec["im"][None])
         # high-res frames vary in shape -> pad even dims for filters
         hr_np = rec["im_hr"]
         hr = jnp.asarray(hr_np[None])
+        if hr_sharding is not None:
+            hr = jax.device_put(hr, hr_sharding)
         states = jnp.asarray(get_initial_states(1, cfg.num_state_dim))
         traj = [np.asarray(img[0])]
         fname = os.path.split(rec["path"])[1]

@@ -213,3 +213,33 @@ def render_pipeline(cfg, img, stages: Sequence[Tuple[str, jnp.ndarray]],
     if run:
         img = fused_run(cfg, img, run)
     return img
+
+
+def make_sharded_render(cfg, mesh, names: Sequence[str]):
+    """Spatially-sharded scripted render over a (data x spatial) mesh.
+
+    The sp axis of the driver's dp/tp/pp/sp taxonomy, applied where it is
+    native to this workload: a high-resolution frame's ROWS are spread over
+    the 'spatial' mesh axis (batch over 'data'), so one 4K/8K render rides
+    every chip's HBM bandwidth instead of one.  The stage chain stays the
+    ordinary XLA path (allow_fused=False): GSPMD partitions it and inserts
+    the halo exchanges the windowed stages (sharpen blurs, NLM shifts) need
+    at shard boundaries — results are bitwise identical to the
+    single-device render (tests/test_spatial_sharding.py).
+
+    Returns a jitted ``fn(img_nhwc, params_list) -> img_nhwc`` with image
+    in/out sharded [data, spatial, -, -] and params replicated.
+    """
+    import jax
+
+    from adaptiveisp_tpu.train import mesh as mesh_lib
+
+    names = tuple(names)
+    sh = mesh_lib.spatial_image_sharding(mesh)
+    rep = mesh_lib.replicated(mesh)
+
+    def fn(img, params_list):
+        return render_pipeline(cfg, img, list(zip(names, params_list)),
+                               allow_fused=False)
+
+    return jax.jit(fn, in_shardings=(sh, rep), out_shardings=sh)

@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -26,6 +27,27 @@ def make_mesh(n_devices: Optional[int] = None,
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (DATA_AXIS,))
+
+
+def make_mesh_2d(n_data: int, n_spatial: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """(data x spatial) mesh: batch DP on one axis, image rows spread over
+    the other (sequence/spatial parallelism for big-frame ISP rendering —
+    one 8K frame's rows ride every chip's HBM instead of one)."""
+    devs = list(devices) if devices is not None else jax.devices()
+    need = n_data * n_spatial
+    if len(devs) < need:
+        raise ValueError(f"mesh {n_data}x{n_spatial} needs {need} devices, "
+                         f"have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_data, n_spatial),
+                (DATA_AXIS, SPATIAL_AXIS))
+
+
+def spatial_image_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC image: batch over 'data', HEIGHT over 'spatial'.  GSPMD inserts
+    the halo exchanges that windowed ops (sharpen blurs, NLM shifts) need
+    at shard boundaries — no hand-written collectives."""
+    return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None))
 
 
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

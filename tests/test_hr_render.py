@@ -44,3 +44,22 @@ def test_hr_render_produces_artifacts(toy_hr_dir, tmp_path):
 
     im = Image.open(os.path.join(out_dir, "step-0", step0[0]))
     assert im.size == (64, 48)
+
+
+def test_hr_render_spatial_shard_matches_single_device(toy_hr_dir, tmp_path):
+    """sp-sharded big-frame application (rows over 4 devices) writes the
+    same pixels as the single-device path — halo exchange is correct."""
+    tcfg = TrainConfig(batch_size=1, epochs=1, imgsz=64)
+    data = {"val": toy_hr_dir, "source": "normalize"}
+    base = run_hr_validation(CFG, tcfg, data, model_weights=None,
+                             save_dir=str(tmp_path / "a"), steps=2,
+                             max_images=1)
+    shrd = run_hr_validation(CFG, tcfg, data, model_weights=None,
+                             save_dir=str(tmp_path / "b"), steps=2,
+                             max_images=1, spatial_shard=4)
+    from PIL import Image
+
+    for fname in os.listdir(os.path.join(base, "step-0")):
+        a = np.asarray(Image.open(os.path.join(base, "step-0", fname)))
+        b = np.asarray(Image.open(os.path.join(shrd, "step-0", fname)))
+        np.testing.assert_array_equal(a, b)

@@ -45,6 +45,9 @@ def parse_args(argv=None):
     p.add_argument("--val_save_path", type=str,
                    default="experiments/adaptiveisp-val")
     p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--spatial_shard", type=int, default=1,
+                   help="spread each full-res frame's rows over N devices "
+                        "(sp axis) during --task val HR rendering")
     p.add_argument("--cfg", type=str, default=None,
                    help="python module exporting `cfg` (a Config) to swap "
                         "filter rosters, like the reference --cfg")
@@ -170,7 +173,8 @@ def main(argv=None):
 
         run_hr_validation(cfg, tcfg, data, args.model_weights,
                           args.val_save_path, steps=args.steps,
-                          yolo_variables=yolo_vars)
+                          yolo_variables=yolo_vars,
+                          spatial_shard=args.spatial_shard)
     else:
         raise SystemExit(f"unknown task {args.task}")
 
