@@ -341,6 +341,43 @@ def predict(model, variables, images, classes: Sequence[str],
             for i in range(len(rank))]
 
 
+def apply_classifier(detections, images, classify_fn, imgsz: int = 224):
+    """Second-stage classifier gate over detections (reference
+    general.py apply_classifier): square + pad each box (max-side square,
+    *1.3 + 30px), crop it from the source image, resize to ``imgsz``, and
+    keep only detections whose classifier argmax agrees with the detector
+    class.
+
+    detections: list (per image) of [n, 6] arrays (xyxy, conf, cls);
+    images: list of float [H, W, 3] arrays in [0, 1];
+    classify_fn: callable(batch [n, imgsz, imgsz, 3]) -> [n, n_cls] logits.
+    Returns the filtered per-image list.
+    """
+    from adaptiveisp_tpu.data.letterbox import resize_bilinear
+
+    out = []
+    for det, im in zip(detections, images):
+        det = np.asarray(det)
+        if det.size == 0:
+            out.append(det.reshape(0, 6))
+            continue
+        # xyxy -> center/size, square to the max side, pad (general.py)
+        cx = (det[:, 0] + det[:, 2]) / 2
+        cy = (det[:, 1] + det[:, 3]) / 2
+        side = np.maximum(det[:, 2] - det[:, 0],
+                          det[:, 3] - det[:, 1]) * 1.3 + 30
+        x1 = np.clip(cx - side / 2, 0, im.shape[1] - 1).astype(int)
+        x2 = np.clip(cx + side / 2, 1, im.shape[1]).astype(int)
+        y1 = np.clip(cy - side / 2, 0, im.shape[0] - 1).astype(int)
+        y2 = np.clip(cy + side / 2, 1, im.shape[0]).astype(int)
+        crops = np.stack([
+            resize_bilinear(im[a:b, c:d], imgsz, imgsz)
+            for a, b, c, d in zip(y1, y2, x1, x2)])
+        pred = np.asarray(classify_fn(crops)).argmax(-1)
+        out.append(det[pred == det[:, 5].astype(int)])
+    return out
+
+
 def main(argv=None):
     """`python -m adaptiveisp_tpu.classify` — classification trainer CLI
     (reference classify/train.py surface)."""
@@ -362,6 +399,9 @@ def main(argv=None):
     p.add_argument("--cutoff", type=int, default=None,
                    help="backbone layer cutoff (classify/train.py --cutoff)")
     p.add_argument("--save-dir", default="runs/train-cls")
+    p.add_argument("--exist-ok", action="store_true",
+                   help="write into --save-dir even if it exists "
+                        "(default: auto-increment)")
     p.add_argument("--dp", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--weights", default=None,
@@ -396,6 +436,11 @@ def main(argv=None):
                          lr0=args.lr0, optimizer=args.optimizer,
                          label_smoothing=args.label_smoothing,
                          weight_decay=args.decay)
+    if args.save_dir and not args.validate_only:
+        from adaptiveisp_tpu.obs.logging import increment_path
+
+        args.save_dir = increment_path(args.save_dir,
+                                       exist_ok=args.exist_ok)
     trainer = ClassifierTrainer(model, variables, train_ds, val_ds, cfg=cfg,
                                 save_dir=args.save_dir, mesh=mesh,
                                 seed=args.seed)

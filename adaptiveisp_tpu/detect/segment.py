@@ -599,6 +599,9 @@ def train_main(argv=None):
     p.add_argument("--nc", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-dir", default="runs/train-seg")
+    p.add_argument("--exist-ok", action="store_true",
+                   help="write into --save-dir even if it exists "
+                        "(default: auto-increment)")
     p.add_argument("--plots", action="store_true")
     p.add_argument("--dp", type=int, default=0)
     p.add_argument("--optimizer", default="SGD",
@@ -690,6 +693,11 @@ def train_main(argv=None):
 
         mesh = make_mesh(args.dp)
 
+    if args.save_dir and not args.resume:
+        from adaptiveisp_tpu.obs.logging import increment_path
+
+        args.save_dir = increment_path(args.save_dir,
+                                       exist_ok=args.exist_ok)
     trainer = SegmentTrainer(model, variables, spec, train_ds, val_ds,
                              cfg=cfg, hyp=loss_hyp,
                              save_dir=args.save_dir, nm=args.nm,

@@ -530,6 +530,28 @@ def load_detector_checkpoint(path: str):
         return pickle.load(f)
 
 
+def strip_optimizer(path: str, out: Optional[str] = None) -> str:
+    """Finalize a best/last checkpoint for deployment (reference
+    general.py strip_optimizer): swap params for the EMA, drop the
+    optimizer state / EMA / step counters, mark epoch -1.  Roughly halves
+    the file; the result still loads everywhere inference does
+    (load_detector_checkpoint / --weights / api.custom) but can no longer
+    --resume — exactly the reference contract."""
+    payload = load_detector_checkpoint(path)
+    if payload.get("ema") is not None:
+        payload["model"] = {"params": payload["ema"],
+                            "batch_stats": payload["model"]["batch_stats"]}
+    for k in ("opt_state", "ema", "updates", "step"):
+        payload.pop(k, None)
+    payload["epoch"] = -1
+    out = out or path
+    with open(out, "wb") as f:
+        pickle.dump(payload, f)
+    mb = os.path.getsize(out) / 1e6
+    print(f"strip_optimizer: saved {out} ({mb:.1f} MB)")
+    return out
+
+
 def _load_initial_weights(path: str, variables):
     """--weights init for fine-tuning (reference train.py:120-131): a
     best/last.pkl from this trainer, a raw variables pickle, or a torch
@@ -605,6 +627,10 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--nc", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-dir", default="runs/train-det")
+    p.add_argument("--exist-ok", action="store_true",
+                   help="write into --save-dir even if it exists (default: "
+                        "auto-increment to save-dir2, 3, ... like the "
+                        "reference's increment_path)")
     p.add_argument("--plots", action="store_true",
                    help="train-batch mosaics, label plots, results curves, "
                         "confusion matrix")
@@ -739,6 +765,11 @@ def main(argv: Optional[Sequence[str]] = None):
               f"{args.save_dir}/hyp_evolve.yaml")
         return res
 
+    if args.save_dir and not args.resume:
+        from adaptiveisp_tpu.obs.logging import increment_path
+
+        args.save_dir = increment_path(args.save_dir,
+                                       exist_ok=args.exist_ok)
     trainer = build_trainer(hyp_dict, args.save_dir)
     if args.save_dir:
         # run provenance: opt.yaml + hyp.yaml next to the checkpoints

@@ -83,6 +83,25 @@ class MetricWriter:
             self.tb.close()
 
 
+def increment_path(path: str, exist_ok: bool = False, sep: str = "",
+                   mkdir: bool = False) -> str:
+    """runs/exp -> runs/exp{sep}2, {sep}3... when the path already exists
+    (reference general.py increment_path semantics): experiment dirs never
+    overwrite each other unless the caller passes exist_ok."""
+    p = str(path)
+    if os.path.exists(p) and not exist_ok:
+        base, suffix = (os.path.splitext(p) if os.path.isfile(p)
+                        else (p, ""))
+        for n in range(2, 9999):
+            cand = f"{base}{sep}{n}{suffix}"
+            if not os.path.exists(cand):
+                p = cand
+                break
+    if mkdir:
+        os.makedirs(p, exist_ok=True)
+    return p
+
+
 def save_img(img, path: str):
     """Save an HWC [0,1] float image as PNG (reference util.py:21-40,
     NaN-zeroing + clipping preserved)."""

@@ -28,6 +28,9 @@ def parse_args(argv=None):
     p.add_argument("--iou_thres", type=float, default=0.45)
     p.add_argument("--max_det", type=int, default=300)
     p.add_argument("--save_dir", type=str, default="runs/detect")
+    p.add_argument("--exist_ok", action="store_true",
+                   help="write into --save_dir even if it exists "
+                        "(default: auto-increment like increment_path)")
     p.add_argument("--save_txt", action="store_true")
     p.add_argument("--augment", action="store_true",
                    help="TTA inference (3 scales + lr flip, yolo.py:211)")
@@ -101,6 +104,9 @@ def main(argv=None):
     else:
         fwd = jax.jit(lambda v, x: decode_predictions(
             yolo.apply(v, x, train=False)))
+    from adaptiveisp_tpu.obs.logging import increment_path
+
+    args.save_dir = increment_path(args.save_dir, exist_ok=args.exist_ok)
     os.makedirs(args.save_dir, exist_ok=True)
 
     source = open_source(args.source, vid_stride=args.vid_stride,
