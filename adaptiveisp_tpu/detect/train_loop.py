@@ -271,6 +271,17 @@ class DetectorTrainer:
         self.state = init_detector_train_state(variables, self.tx)
         if mesh is None:
             self.step_fn = jax.jit(step_fn)
+        elif (hasattr(mesh, "axis_names")
+              and "model" in getattr(mesh, "axis_names", ())):
+            # dp x tp over a (data, model) mesh: batch on 'data', every
+            # weight channel-sharded over 'model' (train/mesh.py
+            # tp_leaf_sharding); GSPMD partitions the convs and inserts
+            # the collectives.  The reference has no TP (SURVEY.md §2.5).
+            from adaptiveisp_tpu.train import mesh as mesh_lib
+
+            self.step_fn, self.state = mesh_lib.shard_detector_train_step(
+                step_fn, mesh, self.state,
+                n_batch_args=self._batch_arity)
         else:
             # DP over the mesh (the reference trainer's DDP, yolov3/
             # train.py:539): params/opt/EMA replicated, batch sharded on
@@ -416,7 +427,11 @@ class DetectorTrainer:
         if self.mesh is not None:
             from adaptiveisp_tpu.train import mesh as mesh_lib
 
-            state = mesh_lib.replicate(self.mesh, state)
+            if "model" in getattr(self.mesh, "axis_names", ()):
+                state = jax.device_put(
+                    state, mesh_lib.tp_state_sharding(self.mesh, state))
+            else:
+                state = mesh_lib.replicate(self.mesh, state)
         self.state = state
         self.best_fitness = float(ckpt.get("best_fitness", 0.0))
         start_epoch = int(ckpt.get("epoch", -1)) + 1
@@ -636,6 +651,10 @@ def main(argv: Optional[Sequence[str]] = None):
                         "confusion matrix")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel over the first N devices")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel: channel-shard every conv over N "
+                        "devices (combines with --dp as a data x model "
+                        "mesh)")
     p.add_argument("--resume", default=None,
                    help="last.pkl checkpoint to continue from (restores "
                         "optimizer / EMA / epoch, reference smart_resume)")
@@ -680,7 +699,11 @@ def main(argv: Optional[Sequence[str]] = None):
                                  nc=spec["nc"], single_cls=args.single_cls)
 
     mesh = None
-    if args.dp:
+    if args.tp:
+        from adaptiveisp_tpu.train.mesh import make_mesh_dp_tp
+
+        mesh = make_mesh_dp_tp(max(1, args.dp), args.tp)
+    elif args.dp:
         from adaptiveisp_tpu.train.mesh import make_mesh
 
         mesh = make_mesh(args.dp)

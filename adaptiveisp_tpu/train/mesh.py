@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
+MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -41,6 +42,64 @@ def make_mesh_2d(n_data: int, n_spatial: int,
                          f"have {len(devs)}")
     return Mesh(np.array(devs[:need]).reshape(n_data, n_spatial),
                 (DATA_AXIS, SPATIAL_AXIS))
+
+
+def make_mesh_dp_tp(n_data: int, n_model: int,
+                    devices: Optional[Sequence] = None) -> Mesh:
+    """(data x model) mesh for tensor-parallel detector training: batch DP
+    on one axis, conv output CHANNELS spread over the other.  The reference
+    has no TP anywhere (SURVEY.md §2.5 — small CNNs); on TPU the mesh
+    abstraction makes it nearly free, so the capability is first-class: one
+    sharding rule on the weight pytree and GSPMD partitions every conv and
+    inserts the collectives."""
+    devs = list(devices) if devices is not None else jax.devices()
+    need = n_data * n_model
+    if len(devs) < need:
+        raise ValueError(f"mesh {n_data}x{n_model} needs {need} devices, "
+                         f"have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_data, n_model),
+                (DATA_AXIS, MODEL_AXIS))
+
+
+def tp_leaf_sharding(mesh: Mesh, leaf) -> NamedSharding:
+    """Megatron-style channel sharding by shape alone: the trailing dim of
+    every weight is the OUTPUT-channel dim (flax conv HWIO kernels, dense
+    (in, out), BN scale/bias/EMA/optimizer moments all (..., C)), so shard
+    it over 'model' whenever it divides evenly and replicate otherwise
+    (e.g. the Detect head's na*(5+nc)=255-wide convs).  One rule covers
+    params, batch_stats, EMA and optax moments uniformly."""
+    n_model = mesh.shape[MODEL_AXIS]
+    shape = getattr(leaf, "shape", ())
+    if len(shape) >= 1 and shape[-1] % n_model == 0 and shape[-1] >= n_model:
+        return NamedSharding(
+            mesh, P(*([None] * (len(shape) - 1)), MODEL_AXIS))
+    return NamedSharding(mesh, P())
+
+
+def tp_state_sharding(mesh: Mesh, state):
+    """Sharding pytree for a train state (params/batch_stats/EMA/opt
+    moments) under the channel rule."""
+    return jax.tree_util.tree_map(lambda x: tp_leaf_sharding(mesh, x), state)
+
+
+def shard_detector_train_step(train_step, mesh: Mesh, state,
+                              n_batch_args: int = 3):
+    """jit a detector train step over a (data x model) mesh: every weight
+    channel-sharded on 'model' per :func:`tp_leaf_sharding`, batch args
+    placed by the caller (shard_batch puts them on 'data').  GSPMD
+    partitions the convs (each chip owns a slice of every layer's output
+    channels) and inserts the all-gather/psum collectives — dp gradients
+    still reduce over 'data'.
+
+    Returns (jitted_step, sharded_state).
+    """
+    st_sh = tp_state_sharding(mesh, state)
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(st_sh,) + (None,) * n_batch_args,
+        out_shardings=(st_sh, None),
+    )
+    return jitted, jax.device_put(state, st_sh)
 
 
 def spatial_image_sharding(mesh: Mesh) -> NamedSharding:

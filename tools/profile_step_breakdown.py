@@ -79,7 +79,10 @@ def main():
                                       anchors_in_grid_units(), LossHyp(),
                                       tx, tx, cached_input_loss=True),
                       donate_argnums=0)
-    state = init_train_state(agent_vars, value_vars, tx, tx)
+    # donate COPIES: step_fn donates the state, and the component benches
+    # below still need the original agent/value variables alive
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+    state = init_train_state(copy(agent_vars), copy(value_vars), tx, tx)
     targets = np.zeros((batch, 16, 5), np.float32)
     targets[:, 0] = [2, 0.5, 0.5, 0.3, 0.4]
     tmask = np.zeros((batch, 16), bool)
