@@ -20,6 +20,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
 MODEL_AXIS = "model"
+EXPERT_AXIS = "expert"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -59,6 +61,38 @@ def make_mesh_dp_tp(n_data: int, n_model: int,
                          f"have {len(devs)}")
     return Mesh(np.array(devs[:need]).reshape(n_data, n_model),
                 (DATA_AXIS, MODEL_AXIS))
+
+
+def make_mesh_dp_ep(n_data: int, n_expert: int,
+                    devices: Optional[Sequence] = None) -> Mesh:
+    """(data x expert) mesh for expert-parallel filter evaluation: batch DP
+    on one axis, the K filter BRANCHES of the policy's candidate render
+    spread over the other.  The agent always evaluates all K filters and
+    blends by one-hot (reference agent.py:103-116, 154) — a natural
+    mixture-of-experts: each chip renders K/E candidates and a psum over
+    'expert' completes the blend (:mod:`adaptiveisp_tpu.ops.ep`)."""
+    devs = list(devices) if devices is not None else jax.devices()
+    need = n_data * n_expert
+    if len(devs) < need:
+        raise ValueError(f"mesh {n_data}x{n_expert} needs {need} devices, "
+                         f"have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_data, n_expert),
+                (DATA_AXIS, EXPERT_AXIS))
+
+
+def make_mesh_dp_pp(n_data: int, n_pipe: int,
+                    devices: Optional[Sequence] = None) -> Mesh:
+    """(data x pipe) mesh for pipeline-parallel streaming ISP: microbatch DP
+    on one axis, the SEQUENTIAL STAGES of a scripted ISP pipeline spread
+    over the other.  Stage i lives on pipe-coordinate i; frames stream
+    through the ring via ppermute (:mod:`adaptiveisp_tpu.ops.pp`)."""
+    devs = list(devices) if devices is not None else jax.devices()
+    need = n_data * n_pipe
+    if len(devs) < need:
+        raise ValueError(f"mesh {n_data}x{n_pipe} needs {need} devices, "
+                         f"have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_data, n_pipe),
+                (DATA_AXIS, PIPE_AXIS))
 
 
 def tp_leaf_sharding(mesh: Mesh, leaf) -> NamedSharding:
