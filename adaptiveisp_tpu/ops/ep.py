@@ -26,7 +26,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from adaptiveisp_tpu.ops.bank import apply_one, filter_specs
@@ -50,6 +50,9 @@ def make_ep_blend_render(cfg, mesh: Mesh):
     over 'expert', and the output batch-sharded (replicated over 'expert').
     Requires ``cfg.n_filters % mesh.shape['expert'] == 0``.
     """
+    if cfg.masking:
+        raise ValueError("ep render does not carry per-filter mask params; "
+                         "disable cfg.masking (the default)")
     specs = filter_specs(cfg)
     n_filters = len(specs)
     n_expert = mesh.shape[EXPERT_AXIS]

@@ -30,7 +30,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from adaptiveisp_tpu.ops.bank import get_spec, render_fixed

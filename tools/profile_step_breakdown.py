@@ -20,8 +20,13 @@ sys.path.insert(0, "/root/repo")
 import numpy as np  # noqa: E402
 
 
-def timed_chain(fn, x0, iters_short=2, iters_long=10, repeats=3):
-    """Marginal per-iter time of x = fn(x) chains (cancels dispatch/fetch)."""
+def timed_chain(fn, x0, iters_short=2, iters_long=10, repeats=5):
+    """Marginal per-iter time of x = fn(x) chains (cancels dispatch/fetch).
+
+    Tunnel RTT varies run-to-run by ±30%; 5 repeats + median keeps single
+    outliers (including negative marginals under host load) out of the
+    reported number.  All samples are printed for transparency.
+    """
     import jax
 
     def run_n(n):
@@ -38,7 +43,10 @@ def timed_chain(fn, x0, iters_short=2, iters_long=10, repeats=3):
     for _ in range(repeats):
         ts, tl = run_n(iters_short), run_n(iters_long)
         samples.append((tl - ts) / (iters_long - iters_short))
-    return sorted(samples)[repeats // 2]
+    med = sorted(samples)[repeats // 2]
+    print("   samples:", " ".join(f"{s*1e3:.1f}" for s in samples), "ms",
+          flush=True)
+    return med
 
 
 def main():
@@ -142,10 +150,9 @@ def main():
     @jax.jit
     def blend_fb(x):
         def loss(pl):
-            cands = bank.render_candidates(cfg, x, pl)
-            out = jnp.stack(cands, 0)                  # [F, N, H, W, C]
-            w = probs.T[:, :, None, None, None]        # [F, N, 1, 1, 1]
-            return (out * w).sum(0).mean()
+            cands = bank.render_candidates(cfg, x, pl)  # [N, F, H, W, C]
+            w = probs[:, :, None, None, None]           # [N, F, 1, 1, 1]
+            return (cands * w).sum(1).mean()
         g = jax.grad(loss)(params_list)
         return x + g[0].mean() * 0.0 + 1e-6
 
