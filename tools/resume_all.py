@@ -52,23 +52,30 @@ def find_resumable(root: Path):
 
 
 def resume_command(last: Path, opt: dict):
-    """Rebuild the trainer CLI invocation from opt.yaml + --resume."""
+    """Rebuild the trainer CLI invocation from opt.yaml + --resume.
+
+    opt.yaml is ``vars(args)`` verbatim (train_loop CLI provenance dump),
+    so every argparse dest maps back to its flag generically — flags that
+    change training semantics (--optimizer, --linear-lr, --freeze, --rect,
+    --tp, ...) must survive the resume or the restored optimizer state
+    would be applied under a different transform/schedule.
+    """
     cmd = [sys.executable, "-m", "adaptiveisp_tpu.detect.train_loop"]
-    skip = {"resume"}
-    flags = {"data": "--data", "val_data": "--val-data", "spec": "--spec",
-             "imgsz": "--imgsz", "batch_size": "--batch-size",
-             "epochs": "--epochs", "lr0": "--lr0", "hyp": "--hyp",
-             "patience": "--patience", "cache": "--cache", "nc": "--nc",
-             "seed": "--seed", "save_dir": "--save-dir", "dp": "--dp"}
-    stores = {"multi_scale": "--multi-scale", "single_cls": "--single-cls",
-              "plots": "--plots"}
-    for k, flag in flags.items():
-        v = opt.get(k)
-        if v is not None and k not in skip and v != 0:
+    # resume: replaced by the fresh --resume below; evolve: an evolve
+    # sweep is not resumable through last.pkl (it resumes from its own
+    # evolve.csv); weights: initial weights are overridden by the restore.
+    skip = {"resume", "evolve", "weights"}
+    for k, v in opt.items():
+        if k in skip or v is None:
+            continue
+        flag = "--" + k.replace("_", "-")
+        if isinstance(v, bool):
+            if v:
+                cmd.append(flag)
+        elif isinstance(v, (list, tuple)):
+            cmd += [flag] + [str(x) for x in v]
+        else:
             cmd += [flag, str(v)]
-    for k, flag in stores.items():
-        if opt.get(k):
-            cmd.append(flag)
     cmd += ["--resume", str(last)]
     return cmd
 
