@@ -40,11 +40,12 @@ from adaptiveisp_tpu.train.step import (
     StepOutput, init_train_state, make_train_step)
 
 
-def imgsz_hyp(imgsz: int, nc: int = 80) -> LossHyp:
-    """Apply the trainer's hyp scaling (reference train.py:140-144)."""
-    return LossHyp(box=0.05 * 3 / 3,
-                   cls=0.5 * nc / 80 * 3 / 3,
-                   obj=1.0 * (imgsz / 640) ** 2 * 3 / 3)
+def imgsz_hyp(imgsz: int, nc: int = 80, nl: int = 3) -> LossHyp:
+    """Apply the trainer's hyp scaling (reference train.py:140-144):
+    box *= 3/nl, cls *= nc/80 * 3/nl, obj *= (imgsz/640)^2 * 3/nl."""
+    return LossHyp(box=0.05 * 3 / nl,
+                   cls=0.5 * nc / 80 * 3 / nl,
+                   obj=1.0 * (imgsz / 640) ** 2 * 3 / nl)
 
 
 class Trainer:
@@ -55,7 +56,7 @@ class Trainer:
                  data_source: Optional[str] = None,
                  mesh=None, log: bool = True, yolo_spec=None,
                  yolo_dtype="bfloat16", device_replay: bool = False,
-                 cached_reward: bool = True):
+                 cached_reward: bool = True, loss_hyp: Optional[LossHyp] = None):
         cfg = cfg.replace(
             filter_runtime_penalty=tcfg.runtime_penalty,
             filter_runtime_penalty_lambda=tcfg.runtime_penalty_lambda)
@@ -136,7 +137,12 @@ class Trainer:
             _, yolo_variables = create_detector(k_yolo, spec=spec, imgsz=256)
         self.yolo_vars = yolo_variables
 
-        hyp = imgsz_hyp(tcfg.imgsz, nc=spec["nc"])
+        # loss_hyp: a pre-scaled LossHyp (e.g. from --hyp YAML via
+        # detect/hyp.split_hyp); default = scratch-low values scaled for
+        # this imgsz / class count / head level count (train.py:140-148)
+        hyp = (loss_hyp if loss_hyp is not None
+               else imgsz_hyp(tcfg.imgsz, nc=spec["nc"],
+                              nl=len(spec["anchors"])))
         max_iter = tcfg.max_iter_step
         self.agent_tx = make_optimizer(
             tcfg.lr, max_iter, clip_norm=tcfg.grad_clip_norm,

@@ -93,3 +93,48 @@ def test_check_dataset_builtins_and_yaml(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         check_dataset("nonexistent_dataset")
+
+
+def test_imgsz_hyp_scales_by_level_count():
+    from adaptiveisp_tpu.train.trainer import imgsz_hyp
+
+    h3 = imgsz_hyp(512, nc=80, nl=3)
+    h2 = imgsz_hyp(512, nc=80, nl=2)       # yolov3-tiny reward detector
+    assert np.isclose(h2.box, h3.box * 3 / 2)
+    assert np.isclose(h2.obj, h3.obj * 3 / 2)
+    assert np.isclose(h2.cls, h3.cls * 3 / 2)
+
+
+def test_train_cli_hyp_yaml_matches_builtin_scaling(tmp_path):
+    """--hyp with scratch-low values == the built-in imgsz_hyp scaling
+    (reference train.py:96-101, 140-148)."""
+    import yaml
+
+    from adaptiveisp_tpu.detect.hyp import load_hyp, split_hyp
+    from adaptiveisp_tpu.detect.spec import YOLOV3_SPEC
+    from adaptiveisp_tpu.train.trainer import imgsz_hyp
+
+    path = tmp_path / "hyp.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump({"box": 0.05, "cls": 0.5, "obj": 1.0}, f)
+    _, loss_hyp, _ = split_hyp(load_hyp(str(path)),
+                               nl=len(YOLOV3_SPEC["anchors"]),
+                               nc=YOLOV3_SPEC["nc"], imgsz=512)
+    want = imgsz_hyp(512, nc=YOLOV3_SPEC["nc"],
+                     nl=len(YOLOV3_SPEC["anchors"]))
+    assert np.isclose(loss_hyp.box, want.box)
+    assert np.isclose(loss_hyp.cls, want.cls)
+    assert np.isclose(loss_hyp.obj, want.obj)
+
+    # and a non-default value actually flows through
+    with open(path, "w") as f:
+        yaml.safe_dump({"box": 0.1, "cls": 0.5, "obj": 1.0}, f)
+    _, loss_hyp2, _ = split_hyp(load_hyp(str(path)), nl=3, nc=80, imgsz=512)
+    assert np.isclose(loss_hyp2.box, 0.1)
+
+
+def test_train_cli_yolo_spec_flag():
+    from train_isp import parse_args
+
+    args = parse_args(["--yolo_spec", "yolov3-tiny"])
+    assert args.yolo_spec == "yolov3-tiny"

@@ -28,6 +28,10 @@ def parse_args(argv=None):
                         "converted variables")
     p.add_argument("--hyp", type=str, default=None,
                    help="loss hyp YAML (defaults to scratch-low values)")
+    p.add_argument("--yolo_spec", type=str, default=None,
+                   help="reward-detector architecture: a named spec "
+                        "(yolov3, yolov5s, ...) or a model YAML — the "
+                        "reference's --yolo_cfg (train.py:110,629)")
     p.add_argument("--save_path", type=str, default="adaptiveisp")
     p.add_argument("--data_name", type=str, default="lod",
                    choices=["lod", "coco", "rod", "oprd"])
@@ -149,6 +153,20 @@ def main(argv=None):
 
     data = check_dataset(args.data_cfg or args.data_name)
     yolo_vars = load_yolo_variables(args.weights)
+    yolo_spec = None
+    if args.yolo_spec:
+        from adaptiveisp_tpu.detect.spec import resolve_spec
+
+        yolo_spec = resolve_spec(args.yolo_spec)
+    loss_hyp = None
+    if args.hyp:
+        from adaptiveisp_tpu.detect.hyp import load_hyp, split_hyp
+        from adaptiveisp_tpu.detect.spec import YOLOV3_SPEC
+
+        spec_for_hyp = yolo_spec or YOLOV3_SPEC
+        _, loss_hyp, _ = split_hyp(load_hyp(args.hyp),
+                                   nl=len(spec_for_hyp["anchors"]),
+                                   nc=spec_for_hyp["nc"], imgsz=args.imgsz)
     mesh = None
     if args.dp:
         from adaptiveisp_tpu.train import mesh as mesh_lib
@@ -163,7 +181,8 @@ def main(argv=None):
             yolo_variables=yolo_vars, data_source=data.get("source"),
             mesh=mesh, device_replay=args.device_replay,
             cached_reward=not args.no_cached_reward,
-            yolo_dtype=args.yolo_dtype)
+            yolo_dtype=args.yolo_dtype, yolo_spec=yolo_spec,
+            loss_hyp=loss_hyp)
         if args.resume:
             trainer.resume(args.resume)
         trainer.train(max_steps=args.max_steps)
