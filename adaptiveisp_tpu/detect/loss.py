@@ -28,6 +28,8 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Sequence, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -35,9 +37,12 @@ from adaptiveisp_tpu.detect.boxes import bbox_ciou
 
 BALANCE_3 = (4.0, 1.0, 0.4)
 BALANCE_5 = (4.0, 1.0, 0.25, 0.06, 0.02)
-OFFSETS = jnp.array(
+# numpy, not jnp: this constant is sliced at trace time, and indexing a
+# device array inside a trace runs eagerly on the default device (slow
+# through the tunneled TPU remote-compile)
+OFFSETS = np.array(
     [[0.0, 0.0], [0.5, 0.0], [0.0, 0.5], [-0.5, 0.0], [0.0, -0.5]],
-    jnp.float32)  # x, y (reference loss.py:186-195, off * g with g=0.5)
+    np.float32)  # x, y (reference loss.py:186-195, off * g with g=0.5)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,7 +110,7 @@ def _candidate_table(shape, targets, tmask, anchors, hyp: LossHyp):
     g = 0.5
     jx = (gxy[:, 0] % 1 < g) & (gxy[:, 0] > 1)
     ky = (gxy[:, 1] % 1 < g) & (gxy[:, 1] > 1)
-    inv = jnp.array([nx, ny], jnp.float32) - gxy
+    inv = np.array([nx, ny], np.float32) - gxy
     lx = (inv[:, 0] % 1 < g) & (inv[:, 0] > 1)
     my = (inv[:, 1] % 1 < g) & (inv[:, 1] > 1)
     off_valid = jnp.stack(
@@ -126,8 +131,8 @@ def _candidate_table(shape, targets, tmask, anchors, hyp: LossHyp):
     # Broadcast rows over anchors: [5, na, T, ...]
     gi_b = jnp.broadcast_to(gi[:, None, :], (5, na, T))
     gj_b = jnp.broadcast_to(gj[:, None, :], (5, na, T))
-    a_b = jnp.broadcast_to(
-        jnp.arange(na, dtype=jnp.int32)[None, :, None], (5, na, T))
+    a_b = np.broadcast_to(
+        np.arange(na, dtype=np.int32)[None, :, None], (5, na, T))
     tbox = jnp.concatenate([
         jnp.broadcast_to(tbox_xy[:, None, :, :], (5, na, T, 2)),
         jnp.broadcast_to(gwh[None, None, :, :], (5, na, T, 2)),

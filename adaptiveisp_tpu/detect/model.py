@@ -317,12 +317,16 @@ def decode_predictions(preds: Sequence[jnp.ndarray], spec=None):
         # reference sigmoids only xy/wh/conf for Segment (yolo.py:67-71)
         y = jnp.concatenate(
             [nn.sigmoid(p[..., :5 + nc]), p[..., 5 + nc:]], axis=-1)
-        gy = jnp.arange(ny, dtype=p.dtype)
-        gx = jnp.arange(nx, dtype=p.dtype)
-        gxv, gyv = jnp.meshgrid(gx, gy)  # [ny, nx]
-        grid = jnp.stack([gxv, gyv], axis=-1) - 0.5  # [ny, nx, 2]
+        # grid/anchor constants in numpy: concrete-array arithmetic inside
+        # a trace executes eagerly on the default device (slow through the
+        # tunneled TPU remote-compile); one jnp transfer each instead
+        gxv, gyv = np.meshgrid(np.arange(nx, dtype=np.float32),
+                               np.arange(ny, dtype=np.float32))
+        grid = jnp.asarray(
+            np.stack([gxv, gyv], axis=-1) - 0.5, p.dtype)  # [ny, nx, 2]
         anchors_px = jnp.asarray(
-            spec["anchors"][lvl], p.dtype).reshape(na, 2)
+            np.asarray(spec["anchors"][lvl], np.float32).reshape(na, 2),
+            p.dtype)
 
         xy = (y[..., 0:2] * 2 + grid[None, :, :, None, :]) * stride
         wh = (y[..., 2:4] * 2) ** 2 * anchors_px[None, None, None, :, :]

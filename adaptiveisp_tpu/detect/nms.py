@@ -107,7 +107,7 @@ def non_max_suppression(prediction, conf_thres: float = 0.25,
             top_extra = extra[top_i // nc] if nm else None
         else:
             best_cls = jnp.argmax(cls_conf, axis=1)
-            scores = cls_conf[jnp.arange(x.shape[0]), best_cls]
+            scores = cls_conf[np.arange(x.shape[0]), best_cls]
             scores = jnp.where(cand, scores, 0.0)
             if cmask is not None:
                 # drop rows whose BEST class is filtered (general.py:934)
@@ -131,9 +131,13 @@ def non_max_suppression(prediction, conf_thres: float = 0.25,
         boxes_p = jnp.pad(off_boxes, ((0, pad), (0, 0)))
         alive0 = jnp.pad(top_valid, (0, pad))
 
-        col_k = jnp.arange(kp, dtype=jnp.int32)
-        row_b = jax.lax.broadcasted_iota(jnp.int32, (bsz, bsz), 0)
-        col_b = jax.lax.broadcasted_iota(jnp.int32, (bsz, bsz), 1)
+        # numpy constants — iota/comparison on concrete arrays inside a
+        # trace would run eagerly on the (tunneled) default device
+        col_k = np.arange(kp, dtype=np.int32)
+        row_b = np.broadcast_to(np.arange(bsz, dtype=np.int32)[:, None],
+                                (bsz, bsz))
+        col_b = np.broadcast_to(np.arange(bsz, dtype=np.int32)[None, :],
+                                (bsz, bsz))
         lower = col_b < row_b
 
         def blk_cond(state):

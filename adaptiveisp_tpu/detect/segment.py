@@ -26,8 +26,8 @@ def crop_mask(masks, boxes):
     masks: [n, h, w]; boxes: [n, 4] xyxy in mask-pixel coords."""
     n, h, w = masks.shape
     x1, y1, x2, y2 = jnp.split(boxes[:, :, None], 4, axis=1)  # each [n,1,1]
-    r = jnp.arange(w, dtype=boxes.dtype)[None, None, :]       # [1,1,w]
-    c = jnp.arange(h, dtype=boxes.dtype)[None, :, None]       # [1,h,1]
+    r = np.arange(w, dtype=np.float32)[None, None, :]         # [1,1,w]
+    c = np.arange(h, dtype=np.float32)[None, :, None]         # [1,h,1]
     keep = (r >= x1) & (r < x2) & (c >= y1) & (c < y2)
     return masks * keep
 

@@ -10,6 +10,7 @@ behaviour to preserve — here everything is coherent NHWC ([N,H,W,1] mask).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from adaptiveisp_tpu.ops.math import rgb2lum, tanh_range
 
@@ -19,12 +20,14 @@ NUM_MASK_PARAMETERS = 6
 
 def mask_grid(h: int, w: int, dtype=jnp.float32):
     """Centered coordinate grid normalised by the shorter edge
-    (reference filters.py:179-187)."""
+    (reference filters.py:179-187).  Built in numpy — the grid is a pure
+    constant, and concrete-array arithmetic inside a trace would execute
+    eagerly on the default device (expensive through the tunneled TPU)."""
     shorter = min(h, w)
-    i = (jnp.arange(h, dtype=dtype) + (shorter - h) / 2.0) / shorter - 0.5
-    j = (jnp.arange(w, dtype=dtype) + (shorter - w) / 2.0) / shorter - 0.5
-    gy = jnp.broadcast_to(i[:, None], (h, w))
-    gx = jnp.broadcast_to(j[None, :], (h, w))
+    i = (np.arange(h, dtype=np.float64) + (shorter - h) / 2.0) / shorter - 0.5
+    j = (np.arange(w, dtype=np.float64) + (shorter - w) / 2.0) / shorter - 0.5
+    gy = jnp.asarray(np.broadcast_to(i[:, None], (h, w)), dtype)
+    gx = jnp.asarray(np.broadcast_to(j[None, :], (h, w)), dtype)
     return gy, gx
 
 
@@ -37,7 +40,7 @@ def get_mask(cfg, img, mask_parameters=None):
     if not cfg.masking or mask_parameters is None:
         # fixed-parameter rendering has no mask head — render unmasked
         # (the reference's Filter.run path never masks, filters.py:128-139)
-        return jnp.ones((1, 1, 1, 1), dtype=img.dtype)
+        return jnp.asarray(np.ones((1, 1, 1, 1)), dtype=img.dtype)
     mp = tanh_range(-FILTER_INPUT_RANGE, FILTER_INPUT_RANGE, initial=0)(
         mask_parameters)
     n, h, w, _ = img.shape

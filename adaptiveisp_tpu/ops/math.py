@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -159,7 +161,13 @@ def depthwise_conv3x3(img, kernel, padding="VALID"):
     XLA's fallback lowering measured 4.5 ms fwd for batch 8 @ 512px on
     v5e; the slice-sum fuses into a single VPU pass over the image
     (~bandwidth-bound).  Numerically the same dot, accumulated in f32.
+
+    Tap weights are read with ``kernel[i, j]`` at trace time; a device
+    array there would make each read an eager op (~20-40 s each through
+    the tunneled TPU remote-compile), so the kernel is forced to a host
+    numpy constant.
     """
+    kernel = np.asarray(kernel)
     if padding == "SAME":
         img = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
     n, hp, wp, c = img.shape

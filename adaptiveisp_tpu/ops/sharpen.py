@@ -14,12 +14,18 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from adaptiveisp_tpu.ops.math import depthwise_conv3x3
 
-# ones(3,3) with centre 5, sum-normalised (reference sharpen.py:119-121)
-_SHARPEN_KERNEL = jnp.array(
-    [[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+# ones(3,3) with centre 5, sum-normalised (reference sharpen.py:119-121).
+# numpy, NOT jnp: constants computed on concrete arrays inside a trace
+# execute EAGERLY on the default device — through the tunneled TPU
+# remote-compile each unique eager op costs ~20-40 s, and this module's
+# jnp constants (kernel gathers + border arithmetic) alone made the agent
+# take ~6 min to trace.  numpy keeps them trace-time constants.
+_SHARPEN_KERNEL = np.array(
+    [[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]], np.float32) / 13.0
 
 
 def _blur_keep_border(img):
@@ -27,8 +33,8 @@ def _blur_keep_border(img):
     inner = depthwise_conv3x3(img, _SHARPEN_KERNEL, padding="VALID")
     blurred = jnp.pad(inner, ((0, 0), (1, 1), (1, 1), (0, 0)))
     n, h, w, c = img.shape
-    row = jnp.arange(h)[None, :, None, None]
-    col = jnp.arange(w)[None, None, :, None]
+    row = np.arange(h)[None, :, None, None]
+    col = np.arange(w)[None, None, :, None]
     border = (row == 0) | (row == h - 1) | (col == 0) | (col == w - 1)
     return jnp.where(border, img, blurred)
 
@@ -53,7 +59,7 @@ def sharpness(img, factor):
 def gaussian_kernel1d(kernel_size: int, sigma):
     """Normalised 1-D Gaussian (reference sharpen.py:15-22)."""
     half = (kernel_size - 1) * 0.5
-    x = jnp.linspace(-half, half, kernel_size)
+    x = np.linspace(-half, half, kernel_size).astype(np.float32)
     pdf = jnp.exp(-0.5 * (x / sigma) ** 2)
     return pdf / jnp.sum(pdf)
 
