@@ -42,10 +42,15 @@ class FilterSpec:
     n_params: int
     squash: Callable  # (cfg, raw_feat[N, n_params]) -> params
     apply: Callable   # (cfg, img_nhwc, params) -> img_nhwc
+    # gate-capable: apply accepts gate=[N] blend weights and may skip
+    # images whose weight is exactly 0 (their blend contribution is zero).
+    # Only worth plumbing for ops whose kernel cost dominates a render —
+    # NLM denoise is ~10x every other filter (reference config.py:24).
+    gated: bool = False
 
 
-def _spec(name, short, n, squash, apply):
-    return FilterSpec(name, short, n, squash, apply)
+def _spec(name, short, n, squash, apply, gated=False):
+    return FilterSpec(name, short, n, squash, apply, gated)
 
 
 # Registry of every op the reference defines (filters.py:215-723), including
@@ -59,7 +64,8 @@ REGISTRY = {
                         F.apply_sharpen_v2),
     "sharpen_usm": _spec("sharpen_usm", "USM", 2, F.squash_sharpen_usm,
                          F.apply_sharpen_usm),
-    "denoise": _spec("denoise", "NLM", 1, F.squash_denoise, F.apply_denoise),
+    "denoise": _spec("denoise", "NLM", 1, F.squash_denoise, F.apply_denoise,
+                     gated=True),
     "tone": _spec("tone", "T", 8, F.squash_tone, F.apply_tone),
     "contrast": _spec("contrast", "Ct", 1, F.squash_contrast,
                       F.apply_contrast),
@@ -117,10 +123,20 @@ def param_offsets(cfg) -> Tuple[Tuple[int, int], ...]:
     return tuple(out)
 
 
-def apply_one(cfg, spec: FilterSpec, img, params, mask_params=None):
-    """One full filter step: masked lerp + clip (reference filters.py:91-126)."""
+def apply_one(cfg, spec: FilterSpec, img, params, mask_params=None,
+              gate=None):
+    """One full filter step: masked lerp + clip (reference filters.py:91-126).
+
+    gate: optional [N] blend weights forwarded to gate-capable ops
+    (spec.gated) so they can skip images whose blend weight is exactly 0.
+    The returned value for a gated-off image is NOT the filtered image —
+    callers must multiply by the same weights (render_blend does)."""
     mask = M.get_mask(cfg, img, mask_params)
-    out = lerp(img, spec.apply(cfg, img, params), mask)
+    if spec.gated and gate is not None:
+        filtered = spec.apply(cfg, img, params, gate=gate)
+    else:
+        filtered = spec.apply(cfg, img, params)
+    out = lerp(img, filtered, mask)
     return jnp.clip(out, 0.0, 1.0)
 
 
@@ -139,12 +155,19 @@ def render_blend(cfg, img, params_list: Sequence, onehot,
     """One-hot blend of all candidates (reference agent.py:154).
 
     onehot: [N, K] float.  Returns [N, H, W, 3].
+
+    Gate-capable ops (NLM denoise) receive their blend-weight column as a
+    per-image gate: images whose weight is exactly 0 skip the kernel, since
+    their contribution is ``0 * cand``.  Exact for arbitrary weights — in
+    training the weights are a sampled hard one-hot, so only ~1/K of the
+    batch pays the NLM cost instead of all of it.
     """
     specs = filter_specs(cfg)
     out = jnp.zeros_like(img)
     for k, spec in enumerate(specs):
         mp = None if mask_params_list is None else mask_params_list[k]
-        cand = apply_one(cfg, spec, img, params_list[k], mp)
+        gate = onehot[:, k] if spec.gated else None
+        cand = apply_one(cfg, spec, img, params_list[k], mp, gate=gate)
         out = out + cand * onehot[:, k, None, None, None]
     return out
 

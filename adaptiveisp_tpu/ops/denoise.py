@@ -74,9 +74,16 @@ def _safe_sqrt(x):
     return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
-def nlm_gray_dispatch(rgb, h, use_pallas: bool = True):
+def nlm_gray_dispatch(rgb, h, use_pallas: bool = True, gate=None):
     """Pick the Pallas single-pass kernel on TPU when the shape qualifies
-    (lane dim multiple of 128, sublane-tileable height), else the XLA path."""
+    (lane dim multiple of 128, sublane-tileable height), else the XLA path.
+
+    gate: optional [N]/[N, 1] blend weights — images whose gate is exactly
+    0 return zeros (their one-hot blend contribution is zero regardless,
+    reference agent.py:154).  On the Pallas path the kernel skips their
+    121-offset accumulation entirely; the XLA path masks the output so both
+    paths agree value-for-value.
+    """
     import jax
 
     n, height, width, _ = rgb.shape
@@ -84,8 +91,15 @@ def nlm_gray_dispatch(rgb, h, use_pallas: bool = True):
             and width % 128 == 0 and height % 8 == 0):
         from adaptiveisp_tpu.ops.pallas.nlm import nlm_gray_pallas
 
-        return nlm_gray_pallas(rgb, h)
-    return nlm_gray(rgb, h)
+        return nlm_gray_pallas(rgb, h, gate=gate)
+    out = nlm_gray(rgb, h)
+    if gate is not None:
+        import jax.lax
+
+        on = jax.lax.stop_gradient(
+            jnp.asarray(gate, rgb.dtype).reshape(n, 1, 1, 1)) != 0
+        out = jnp.where(on, out, 0.0)
+    return out
 
 
 def nlm_rgb(rgb, h, search_window_size: int = 21, patch_size: int = 7):

@@ -178,10 +178,11 @@ def squash_denoise(cfg, feat):
     return jnp.asarray(1.0) / (1.0 + jnp.exp(-feat))
 
 
-def apply_denoise(cfg, img, param):
+def apply_denoise(cfg, img, param, gate=None):
     img = jnp.clip(img, 0.0, 1.0)
     use_pallas = getattr(cfg, "use_pallas", True)
-    return _denoise.nlm_gray_dispatch(img, param, use_pallas=use_pallas)
+    return _denoise.nlm_gray_dispatch(img, param, use_pallas=use_pallas,
+                                      gate=gate)
 
 
 # --------------------------------------------------------------------------- #

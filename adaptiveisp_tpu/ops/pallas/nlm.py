@@ -32,12 +32,22 @@ HALO = SEARCH_R + PATCH_R  # 7
 WIN_EXTRA = 2 * HALO + 2   # window rows = tile + 16, sublane-aligned (8 | 16)
 
 
-def _prologue(h_ref, ext_ref, y_ref):
-    """Shared kernel prologue: clamp strength, build the luminance plane."""
-    hh = jnp.maximum(h_ref[pl.program_id(0), 0], 0.0) + EPS
+def _prologue(ext_ref, y_ref):
+    """Shared kernel prologue: build the luminance plane."""
     rc = jnp.clip(ext_ref[0], 0.0, 1.0)
     y_ref[...] = 0.299 * rc[0] + 0.587 * rc[1] + 0.114 * rc[2]
-    return hh
+
+
+# Per-image gating: ``gate_ref`` is an [N, 1] SMEM plane; images whose gate
+# is exactly 0 write zero outputs and skip the 121-offset accumulation
+# entirely.  In the training blend every candidate is multiplied by a hard
+# one-hot weight (reference agent.py:154), so ~(K-1)/K of the batch pays the
+# NLM cost for a contribution that is exactly zero — the gate skips that
+# work while remaining correct for ARBITRARY blend weights (zero weight ⇒
+# zero contribution; nonzero weight ⇒ full kernel, identical arithmetic).
+# Measured on v5e (tools/bench_gated_nlm.py, 8x512x512 fwd+bwd): all-on
+# 23.6 ms → 3.4 ms with a 1/8-selected gate (6.96×); outputs and grads of
+# the selected image bitwise equal, gated-off grads exactly zero.
 
 
 def _box5(row, width: int):
@@ -59,11 +69,12 @@ def _epilogue(out_ref, wsum_ref, acc_ref):
     wsum_ref[0, 0] = acc_ref[0]
 
 
-def _nlm_kernel(h_ref, ext_ref, out_ref, wsum_ref, y_ref, acc_ref, *,
-                tile: int, width: int):
+def _nlm_kernel(h_ref, gate_ref, ext_ref, out_ref, wsum_ref, y_ref, acc_ref,
+                *, tile: int, width: int):
     """One (image, row-tile) grid step.
 
     h_ref: [N, 1] SMEM strengths (whole array; indexed by grid position);
+    gate_ref: [N, 1] SMEM blend gates (0 ⇒ skip, see gating note above);
     ext_ref: [1, 3, tile+WIN_EXTRA, W] VMEM (halo included, circularly padded
     on host); out_ref: [1, 3, tile, W] VMEM.
     Scratch: y_ref [tile+2*HALO+2, W] luminance; acc_ref [4, tile, W]
@@ -71,33 +82,46 @@ def _nlm_kernel(h_ref, ext_ref, out_ref, wsum_ref, y_ref, acc_ref, *,
     unrolled loop's live ranges to one iteration (a pure-SSA accumulation
     spilled ~145MB of registers).
     """
-    hh = _prologue(h_ref, ext_ref, y_ref)
+    # program_id reads stay OUTSIDE the pl.when branches (no lowering rule
+    # for program_id inside the branch in interpret mode)
+    hh = jnp.maximum(h_ref[pl.program_id(0), 0], 0.0) + EPS
+    g = gate_ref[pl.program_id(0), 0]
 
-    acc_ref[...] = jnp.zeros_like(acc_ref)
+    @pl.when(g == 0.0)
+    def _skip():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        wsum_ref[...] = jnp.zeros_like(wsum_ref)
 
-    # Fully unrolled 121-offset accumulation.  Mosaic hoists the shifted
-    # loads, so live values scale with tile size — tile=8 keeps the scoped
-    # VMEM (spill) usage inside the 16M budget (see _pick_tile).
-    for dy in range(-SEARCH_R, SEARCH_R + 1):
-        yc = y_ref[HALO - PATCH_R:HALO + tile + PATCH_R]
-        ys_rows = y_ref[HALO - PATCH_R - dy:HALO + tile + PATCH_R - dy]
-        for dx in range(-SEARCH_R, SEARCH_R + 1):
-            ys = pltpu.roll(ys_rows, dx % width, axis=1)
-            d2 = (yc - ys) ** 2  # [tile+4, W]
-            row = (d2[0:tile] + d2[1:tile + 1] + d2[2:tile + 2]
-                   + d2[3:tile + 3] + d2[4:tile + 4])  # [tile, W]
-            w = jnp.exp(-jnp.sqrt(jnp.maximum(_box5(row, width), 0.0)) / hh)
-            acc_ref[0] += w
-            for c in range(3):
-                acc_ref[1 + c] += w * pltpu.roll(
-                    ext_ref[0, c, HALO - dy:HALO + tile - dy, :],
-                    dx % width, axis=1)
+    @pl.when(g != 0.0)
+    def _run():
+        _prologue(ext_ref, y_ref)
 
-    _epilogue(out_ref, wsum_ref, acc_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        # Fully unrolled 121-offset accumulation.  Mosaic hoists the shifted
+        # loads, so live values scale with tile size — tile=8 keeps the
+        # scoped VMEM (spill) usage inside the 16M budget (see _pick_tile).
+        for dy in range(-SEARCH_R, SEARCH_R + 1):
+            yc = y_ref[HALO - PATCH_R:HALO + tile + PATCH_R]
+            ys_rows = y_ref[HALO - PATCH_R - dy:HALO + tile + PATCH_R - dy]
+            for dx in range(-SEARCH_R, SEARCH_R + 1):
+                ys = pltpu.roll(ys_rows, dx % width, axis=1)
+                d2 = (yc - ys) ** 2  # [tile+4, W]
+                row = (d2[0:tile] + d2[1:tile + 1] + d2[2:tile + 2]
+                       + d2[3:tile + 3] + d2[4:tile + 4])  # [tile, W]
+                w = jnp.exp(
+                    -jnp.sqrt(jnp.maximum(_box5(row, width), 0.0)) / hh)
+                acc_ref[0] += w
+                for c in range(3):
+                    acc_ref[1 + c] += w * pltpu.roll(
+                        ext_ref[0, c, HALO - dy:HALO + tile - dy, :],
+                        dx % width, axis=1)
+
+        _epilogue(out_ref, wsum_ref, acc_ref)
 
 
-def _nlm_kernel_sym(h_ref, ext_ref, out_ref, wsum_ref, y_ref, acc_ref, *,
-                    tile: int, width: int):
+def _nlm_kernel_sym(h_ref, gate_ref, ext_ref, out_ref, wsum_ref, y_ref,
+                    acc_ref, *, tile: int, width: int):
     """Symmetry-halved variant of :func:`_nlm_kernel`.
 
     NLM weights satisfy w_{-d}(p) = (S_{-d} w_d)(p) — the weight of the
@@ -108,44 +132,56 @@ def _nlm_kernel_sym(h_ref, ext_ref, out_ref, wsum_ref, y_ref, acc_ref, *,
     of 121.  Identical math, different summation order (~1e-6 vs the
     reference chain).
     """
-    hh = _prologue(h_ref, ext_ref, y_ref)
+    hh = jnp.maximum(h_ref[pl.program_id(0), 0], 0.0) + EPS
+    g = gate_ref[pl.program_id(0), 0]
 
-    # center offset: w == exp(0) == 1
-    acc_ref[0] = jnp.ones_like(acc_ref[0])
-    for c in range(3):
-        acc_ref[1 + c] = ext_ref[0, c, HALO:HALO + tile, :]
+    @pl.when(g == 0.0)
+    def _skip():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        wsum_ref[...] = jnp.zeros_like(wsum_ref)
 
-    # half set: dy in 1..R (all dx) plus dy == 0, dx in 1..R
-    offsets = ([(0, dx) for dx in range(1, SEARCH_R + 1)]
-               + [(dy, dx) for dy in range(1, SEARCH_R + 1)
-                  for dx in range(-SEARCH_R, SEARCH_R + 1)])
-    for dy, dx in offsets:
-        # w_d needed on rows [0, tile+dy): the forward term reads rows
-        # [0, tile), the mirrored term w_{-d}(p) = w_d(p+d) rows
-        # [dy, tile+dy)
-        n_w = tile + dy
-        lo = HALO - PATCH_R                # first d2 row = -2
-        n_d2 = n_w + 2 * PATCH_R
-        yc = y_ref[lo:lo + n_d2]
-        ys = pltpu.roll(y_ref[lo - dy:lo - dy + n_d2], dx % width, axis=1)
-        d2 = (yc - ys) ** 2                # rows [-2, tile+dy+2)
-        row = (d2[0:n_w] + d2[1:n_w + 1] + d2[2:n_w + 2]
-               + d2[3:n_w + 3] + d2[4:n_w + 4])  # w rows [0, tile+dy)
-        w = jnp.exp(-jnp.sqrt(jnp.maximum(_box5(row, width), 0.0)) / hh)
+    @pl.when(g != 0.0)
+    def _run():
+        _prologue(ext_ref, y_ref)
 
-        wf = w[0:tile]                               # w_d at p
-        wb = pltpu.roll(w[dy:dy + tile], (-dx) % width,
-                        axis=1)                      # w_{-d} at p
-        acc_ref[0] += wf + wb
+        # center offset: w == exp(0) == 1
+        acc_ref[0] = jnp.ones_like(acc_ref[0])
         for c in range(3):
-            acc_ref[1 + c] += (
-                wf * pltpu.roll(ext_ref[0, c, HALO - dy:HALO + tile - dy, :],
-                                dx % width, axis=1)
-                + wb * pltpu.roll(
-                    ext_ref[0, c, HALO + dy:HALO + tile + dy, :],
-                    (-dx) % width, axis=1))
+            acc_ref[1 + c] = ext_ref[0, c, HALO:HALO + tile, :]
 
-    _epilogue(out_ref, wsum_ref, acc_ref)
+        # half set: dy in 1..R (all dx) plus dy == 0, dx in 1..R
+        offsets = ([(0, dx) for dx in range(1, SEARCH_R + 1)]
+                   + [(dy, dx) for dy in range(1, SEARCH_R + 1)
+                      for dx in range(-SEARCH_R, SEARCH_R + 1)])
+        for dy, dx in offsets:
+            # w_d needed on rows [0, tile+dy): the forward term reads rows
+            # [0, tile), the mirrored term w_{-d}(p) = w_d(p+d) rows
+            # [dy, tile+dy)
+            n_w = tile + dy
+            lo = HALO - PATCH_R                # first d2 row = -2
+            n_d2 = n_w + 2 * PATCH_R
+            yc = y_ref[lo:lo + n_d2]
+            ys = pltpu.roll(y_ref[lo - dy:lo - dy + n_d2], dx % width,
+                            axis=1)
+            d2 = (yc - ys) ** 2                # rows [-2, tile+dy+2)
+            row = (d2[0:n_w] + d2[1:n_w + 1] + d2[2:n_w + 2]
+                   + d2[3:n_w + 3] + d2[4:n_w + 4])  # w rows [0, tile+dy)
+            w = jnp.exp(-jnp.sqrt(jnp.maximum(_box5(row, width), 0.0)) / hh)
+
+            wf = w[0:tile]                               # w_d at p
+            wb = pltpu.roll(w[dy:dy + tile], (-dx) % width,
+                            axis=1)                      # w_{-d} at p
+            acc_ref[0] += wf + wb
+            for c in range(3):
+                acc_ref[1 + c] += (
+                    wf * pltpu.roll(
+                        ext_ref[0, c, HALO - dy:HALO + tile - dy, :],
+                        dx % width, axis=1)
+                    + wb * pltpu.roll(
+                        ext_ref[0, c, HALO + dy:HALO + tile + dy, :],
+                        (-dx) % width, axis=1))
+
+        _epilogue(out_ref, wsum_ref, acc_ref)
 
 
 def _pick_tile(h: int) -> int:
@@ -159,7 +195,7 @@ def _pick_tile(h: int) -> int:
     return h
 
 
-def nlm_gray_pallas(rgb, h, sym: bool = False):
+def nlm_gray_pallas(rgb, h, gate=None, sym: bool = False):
     """Gray-guided NLM, Pallas single-pass edition (differentiable).
 
     rgb: [N, H, W, 3] float32 in [0,1]; h: [N, 1].  Returns NHWC.
@@ -167,61 +203,82 @@ def nlm_gray_pallas(rgb, h, sym: bool = False):
     the per-offset weights on-chip; residuals are just the forward's U and
     weight-sum planes).  The XLA-recompute backward it replaces cost ~79 ms
     at batch 8 @ 512px vs ~6 ms forward — it dominated the RL train step.
+
+    gate: optional [N] or [N, 1] blend weights; images whose gate is
+    exactly 0 skip the kernel and return zeros (their blend contribution is
+    zero regardless, reference agent.py:154) — in the training blend this
+    cuts the NLM cost to the ~1/K of the batch that actually selected it.
+    None means all-on.
+
     sym selects the symmetry-halved forward (equal speed on v5e; see
     _nlm_forward).  Two separately-decorated custom_vjp entries rather
     than a nondiff_argnums flag: a defaulted nondiff positional mis-binds
     the vjp arguments when the caller omits it.
     """
-    return _nlm_pallas_sym(rgb, h) if sym else _nlm_pallas_base(rgb, h)
+    gate = _canon_gate(gate, rgb.shape[0])
+    return (_nlm_pallas_sym(rgb, h, gate) if sym
+            else _nlm_pallas_base(rgb, h, gate))
 
 
-def _nlm_vjp_fwd(rgb, h, sym):
-    u, wsum = _nlm_forward_uw(rgb, h, sym=sym)
-    return jnp.clip(u, 0.0, 1.0), (rgb, h, u, wsum)
+def _canon_gate(gate, n):
+    if gate is None:
+        return jnp.ones((n, 1), jnp.float32)
+    gate = jnp.asarray(gate, jnp.float32)
+    # stop_gradient: the gate is a selection constant (a sampled one-hot
+    # column); it must not open a differentiation path of its own
+    return jax.lax.stop_gradient(gate.reshape(n, 1))
+
+
+def _nlm_vjp_fwd(rgb, h, gate, sym):
+    u, wsum = _nlm_forward_uw(rgb, h, gate, sym=sym)
+    return jnp.clip(u, 0.0, 1.0), (rgb, h, gate, u, wsum)
 
 
 def _nlm_vjp_bwd(residuals, g):
     """Fused Pallas backward; jax's own vjps wrap the clip and the h-relu
     so tie-gradient semantics match the XLA autodiff exactly."""
-    rgb, h, u, wsum = residuals
+    rgb, h, gate, u, wsum = residuals
     _, clip_vjp = jax.vjp(lambda x: jnp.clip(x, 0.0, 1.0), u)
     v = clip_vjp(g)[0]
-    drgb, dhh = _nlm_backward(rgb, h, v, u, wsum)
+    drgb, dhh = _nlm_backward(rgb, h, gate, v, u, wsum)
     _, relu_vjp = jax.vjp(lambda x: jnp.maximum(x, 0.0), h)
-    return drgb, relu_vjp(dhh)[0]
+    return drgb, relu_vjp(dhh)[0], jnp.zeros_like(gate)
 
 
 @jax.custom_vjp
-def _nlm_pallas_base(rgb, h):
-    return _nlm_forward(rgb, h, sym=False)
+def _nlm_pallas_base(rgb, h, gate):
+    return _nlm_forward(rgb, h, gate, sym=False)
 
 
-_nlm_pallas_base.defvjp(lambda rgb, h: _nlm_vjp_fwd(rgb, h, False),
+_nlm_pallas_base.defvjp(lambda rgb, h, gate: _nlm_vjp_fwd(rgb, h, gate,
+                                                          False),
                         _nlm_vjp_bwd)
 
 
 @jax.custom_vjp
-def _nlm_pallas_sym(rgb, h):
-    return _nlm_forward(rgb, h, sym=True)
+def _nlm_pallas_sym(rgb, h, gate):
+    return _nlm_forward(rgb, h, gate, sym=True)
 
 
-_nlm_pallas_sym.defvjp(lambda rgb, h: _nlm_vjp_fwd(rgb, h, True),
+_nlm_pallas_sym.defvjp(lambda rgb, h, gate: _nlm_vjp_fwd(rgb, h, gate, True),
                        _nlm_vjp_bwd)
 
 
-def nlm_gray_pallas_interpret(rgb, h, sym: bool = False):
+def nlm_gray_pallas_interpret(rgb, h, gate=None, sym: bool = False):
     """Interpreter-mode entry for CPU tests."""
-    return _nlm_forward(rgb, h, interpret=True, sym=sym)
+    gate = _canon_gate(gate, rgb.shape[0])
+    return _nlm_forward(rgb, h, gate, interpret=True, sym=sym)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "sym"))
-def _nlm_forward(rgb, h, interpret: bool = False, sym: bool = False):
-    u, _ = _nlm_forward_uw(rgb, h, interpret=interpret, sym=sym)
+def _nlm_forward(rgb, h, gate, interpret: bool = False, sym: bool = False):
+    u, _ = _nlm_forward_uw(rgb, h, gate, interpret=interpret, sym=sym)
     return jnp.clip(u, 0.0, 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "sym"))
-def _nlm_forward_uw(rgb, h, interpret: bool = False, sym: bool = False):
+def _nlm_forward_uw(rgb, h, gate, interpret: bool = False,
+                    sym: bool = False):
     """Forward returning (UNCLIPPED ratio, weight sum) — the backward's
     residuals.  sym=True halves the distance/sqrt/exp work via weight
     symmetry but measured EQUAL on v5e (2.54 vs 2.51 ms at 4x512x512): the
@@ -242,6 +299,7 @@ def _nlm_forward_uw(rgb, h, interpret: bool = False, sym: bool = False):
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, tile + WIN_EXTRA, width),
                          lambda i, t: (i, 0, t, 0),
@@ -264,7 +322,7 @@ def _nlm_forward_uw(rgb, h, interpret: bool = False, sym: bool = False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(h.astype(jnp.float32), _overlap_rows(ext, tile, height))
+    )(h.astype(jnp.float32), gate, _overlap_rows(ext, tile, height))
     return (jnp.transpose(out, (0, 2, 3, 1)),
             jnp.transpose(wsum, (0, 2, 3, 1)))
 
@@ -317,69 +375,83 @@ def _clip_mask(x):
     return inside + 0.5 * tie
 
 
-def _nlm_bwd_kernel(h_ref, ext_ref, v_ref, u_ref, wsum_ref,
+def _nlm_bwd_kernel(h_ref, gate_ref, ext_ref, v_ref, u_ref, wsum_ref,
                     drgb_ref, dh_ref, y_ref, aq_ref, acc_ref, *,
                     tile: int, width: int):
-    hh = jnp.maximum(h_ref[pl.program_id(0), 0], 0.0) + EPS
-    rc = jnp.clip(ext_ref[0], 0.0, 1.0)
-    y_ref[...] = 0.299 * rc[0] + 0.587 * rc[1] + 0.114 * rc[2]
+    i, t = pl.program_id(0), pl.program_id(1)
+    hh = jnp.maximum(h_ref[i, 0], 0.0) + EPS
+    g = gate_ref[i, 0]
 
-    inv_w = 1.0 / wsum_ref[0, 0]
-    for c in range(3):
-        aq_ref[c] = v_ref[0, c] * inv_w
-    aq_ref[3] = -(v_ref[0, 0] * u_ref[0, 0] + v_ref[0, 1] * u_ref[0, 1]
-                  + v_ref[0, 2] * u_ref[0, 2]) * inv_w
+    @pl.when(g == 0.0)
+    def _skip():
+        # gated-off images contributed 0 to the blend: their cotangent is
+        # exactly zero AND the forward stored wsum == 0 (1/wsum would be
+        # inf) — write zero grads and skip the chain recompute
+        drgb_ref[...] = jnp.zeros_like(drgb_ref)
+        dh_ref[i, t] = 0.0
 
-    acc_ref[...] = jnp.zeros_like(acc_ref)
+    @pl.when(g != 0.0)
+    def _run():
+        rc = jnp.clip(ext_ref[0], 0.0, 1.0)
+        y_ref[...] = 0.299 * rc[0] + 0.587 * rc[1] + 0.114 * rc[2]
 
-    nb = tile + 14          # chain rows [-7, tile+7)
-    nd2 = nb + 4            # d2 rows [-9, tile+9)
-    for dy in range(-SEARCH_R, SEARCH_R + 1):
-        yc = y_ref[HALO_BY - 9:HALO_BY - 9 + nd2]
-        ys_rows = y_ref[HALO_BY - 9 - dy:HALO_BY - 9 - dy + nd2]
-        for dx in range(-SEARCH_R, SEARCH_R + 1):
-            ys = pltpu.roll(ys_rows, dx % width, axis=1)
-            diff = yc - ys
-            d2 = diff * diff                       # rows [-9, tile+9)
-            row = (d2[0:nb] + d2[1:nb + 1] + d2[2:nb + 2]
-                   + d2[3:nb + 3] + d2[4:nb + 4])  # rows [-7, tile+7)
-            b = _box5(row, width)
-            pos = b > 0.0
-            s = jnp.sqrt(jnp.where(pos, b, 1.0))
-            w = jnp.exp(-jnp.where(pos, s, 0.0) / hh)
+        inv_w = 1.0 / wsum_ref[0, 0]
+        for c in range(3):
+            aq_ref[c] = v_ref[0, c] * inv_w
+        aq_ref[3] = -(v_ref[0, 0] * u_ref[0, 0] + v_ref[0, 1] * u_ref[0, 1]
+                      + v_ref[0, 2] * u_ref[0, 2]) * inv_w
 
-            g_w = aq_ref[3, HALO_BC - 7:HALO_BC + tile + 7]
-            for c in range(3):
-                srgb = pltpu.roll(
-                    ext_ref[0, c, HALO_BY - 7 - dy:HALO_BY + tile + 7 - dy],
-                    dx % width, axis=1)
-                g_w = g_w + aq_ref[c, HALO_BC - 7:HALO_BC + tile + 7] * srgb
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-            gww = g_w * w
-            acc_ref[4] += (gww * jnp.where(pos, s, 0.0))[7:7 + tile]
+        nb = tile + 14          # chain rows [-7, tile+7)
+        nd2 = nb + 4            # d2 rows [-9, tile+9)
+        for dy in range(-SEARCH_R, SEARCH_R + 1):
+            yc = y_ref[HALO_BY - 9:HALO_BY - 9 + nd2]
+            ys_rows = y_ref[HALO_BY - 9 - dy:HALO_BY - 9 - dy + nd2]
+            for dx in range(-SEARCH_R, SEARCH_R + 1):
+                ys = pltpu.roll(ys_rows, dx % width, axis=1)
+                diff = yc - ys
+                d2 = diff * diff                       # rows [-9, tile+9)
+                row = (d2[0:nb] + d2[1:nb + 1] + d2[2:nb + 2]
+                       + d2[3:nb + 3] + d2[4:nb + 4])  # rows [-7, tile+7)
+                b = _box5(row, width)
+                pos = b > 0.0
+                s = jnp.sqrt(jnp.where(pos, b, 1.0))
+                w = jnp.exp(-jnp.where(pos, s, 0.0) / hh)
 
-            db = jnp.where(pos, -0.5 * gww / (hh * s), 0.0)
-            dd2r = (db[0:tile + 10] + db[1:tile + 11] + db[2:tile + 12]
-                    + db[3:tile + 13] + db[4:tile + 14])
-            dd2 = _box5(dd2r, width)               # rows [-5, tile+5)
-            z1 = 2.0 * diff[4:4 + tile + 10] * dd2
-            acc_ref[3] += z1[5:5 + tile]
-            acc_ref[3] -= pltpu.roll(z1[5 + dy:5 + dy + tile],
-                                     (-dx) % width, axis=1)
+                g_w = aq_ref[3, HALO_BC - 7:HALO_BC + tile + 7]
+                for c in range(3):
+                    srgb = pltpu.roll(
+                        ext_ref[0, c,
+                                HALO_BY - 7 - dy:HALO_BY + tile + 7 - dy],
+                        dx % width, axis=1)
+                    g_w = g_w + aq_ref[
+                        c, HALO_BC - 7:HALO_BC + tile + 7] * srgb
 
-            for c in range(3):
-                wa = w * aq_ref[c, HALO_BC - 7:HALO_BC + tile + 7]
-                acc_ref[c] += pltpu.roll(wa[7 + dy:7 + dy + tile],
+                gww = g_w * w
+                acc_ref[4] += (gww * jnp.where(pos, s, 0.0))[7:7 + tile]
+
+                db = jnp.where(pos, -0.5 * gww / (hh * s), 0.0)
+                dd2r = (db[0:tile + 10] + db[1:tile + 11] + db[2:tile + 12]
+                        + db[3:tile + 13] + db[4:tile + 14])
+                dd2 = _box5(dd2r, width)               # rows [-5, tile+5)
+                z1 = 2.0 * diff[4:4 + tile + 10] * dd2
+                acc_ref[3] += z1[5:5 + tile]
+                acc_ref[3] -= pltpu.roll(z1[5 + dy:5 + dy + tile],
                                          (-dx) % width, axis=1)
 
-    lum = (0.299, 0.587, 0.114)
-    for c in range(3):
-        x = ext_ref[0, c, HALO_BY:HALO_BY + tile]
-        drgb_ref[0, c] = acc_ref[c] + lum[c] * _clip_mask(x) * acc_ref[3]
-    # whole [n, ntiles] partial-sum table rides along as one SMEM block
-    # (per-grid-step (1,1) blocks fail the mosaic block-shape rule)
-    dh_ref[pl.program_id(0), pl.program_id(1)] = (
-        jnp.sum(acc_ref[4]) / (hh * hh))
+                for c in range(3):
+                    wa = w * aq_ref[c, HALO_BC - 7:HALO_BC + tile + 7]
+                    acc_ref[c] += pltpu.roll(wa[7 + dy:7 + dy + tile],
+                                             (-dx) % width, axis=1)
+
+        lum = (0.299, 0.587, 0.114)
+        for c in range(3):
+            x = ext_ref[0, c, HALO_BY:HALO_BY + tile]
+            drgb_ref[0, c] = acc_ref[c] + lum[c] * _clip_mask(x) * acc_ref[3]
+        # whole [n, ntiles] partial-sum table rides along as one SMEM block
+        # (per-grid-step (1,1) blocks fail the mosaic block-shape rule)
+        dh_ref[i, t] = jnp.sum(acc_ref[4]) / (hh * hh)
 
 
 def _overlap_rows_g(padded, tile: int, height: int, halo: int):
@@ -393,7 +465,7 @@ def _overlap_rows_g(padded, tile: int, height: int, halo: int):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _nlm_backward(rgb, h, v, u, wsum, interpret: bool = False):
+def _nlm_backward(rgb, h, gate, v, u, wsum, interpret: bool = False):
     """Pallas backward: returns (dL/drgb NHWC, dL/dhh [N, 1])."""
     n, height, width, _ = rgb.shape
     # tile 32 measured 21.7 vs 29.7 ms fwd+bwd for 8x512x512 on v5e (less
@@ -418,6 +490,7 @@ def _nlm_backward(rgb, h, v, u, wsum, interpret: bool = False):
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, tile + 2 * HALO_BY, width),
                          lambda i, t: (i, 0, t, 0),
@@ -450,6 +523,6 @@ def _nlm_backward(rgb, h, v, u, wsum, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(h.astype(jnp.float32), ext, vw, uw, ww)
+    )(h.astype(jnp.float32), gate, ext, vw, uw, ww)
     return (jnp.transpose(drgb, (0, 2, 3, 1)),
             jnp.sum(dhp, axis=1, keepdims=True))

@@ -14,14 +14,65 @@ Extra diagnostics go to stderr.
 
 import functools
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
+_T0 = time.perf_counter()
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache.
+
+    The tunneled remote-compile service dominates bench wall time (the
+    5-stage render section alone measured 363 s cold vs <1 ms/iter of actual
+    device time; the RL train-step graph ~5 min).  Compiled executables are
+    content-addressed by HLO hash, so a cache warmed by any earlier run
+    (tests, a previous bench, the pre-round warmup) makes the driver's
+    timed run compile-free.  Opt out with BENCH_NO_COMPILE_CACHE=1."""
+    if os.environ.get("BENCH_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # cache is an optimization, never a requirement
+        log(f"bench: compilation cache unavailable ({e})")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _budget() -> float:
+    """Self-imposed wall budget (seconds).  The driver runs bench.py under an
+    external timeout; round 3 hit it (rc=124) and recorded NO metrics, so the
+    harness now budgets itself: expensive sections are skipped when the time
+    remaining can't cover their estimated cost, and a SIGTERM/SIGALRM handler
+    emits the JSON line with whatever was measured so far."""
+    import os
+
+    try:
+        return float(os.environ.get("BENCH_BUDGET_S", "480"))
+    except ValueError:
+        return 480.0
+
+
+def elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def remaining() -> float:
+    return _budget() - elapsed()
 
 
 def timed_chain(step_fn, x0, iters, repeats: int = 3):
@@ -32,17 +83,24 @@ def timed_chain(step_fn, x0, iters, repeats: int = 3):
 
     The marginal estimate is repeated and the MEDIAN reported: identical
     runs through the shared tunnel/device measured 13.4-21.4 GPix/s on the
-    render metric, so a single sample is ±30% noise."""
+    render metric, so a single sample is ±30% noise.
+
+    The iteration count is a TRACED fori_loop bound (lowered to a
+    while_loop), so one compile serves both the short and long runs —
+    round 3's per-n jits doubled every compile through the tunneled
+    remote-compile service and blew the driver's bench timeout."""
     import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x, n):
+        return jax.lax.fori_loop(0, n, lambda i, x: step_fn(x), x).mean()
 
     def run_n(n):
-        @jax.jit
-        def run(x):
-            return jax.lax.fori_loop(0, n, lambda i, x: step_fn(x), x).mean()
-
-        float(run(x0))  # compile + warm (cached after the first repeat)
+        n = jnp.int32(n)
+        float(run(x0, n))  # compile (first call) + warm
         t0 = time.perf_counter()
-        float(run(x0))
+        float(run(x0, n))
         return time.perf_counter() - t0
 
     # marginal time removes the constant dispatch/fetch overhead
@@ -197,15 +255,16 @@ def bench_adaptive_inference(size=512, steps=5, iters=64, half=False):
         # chain dependency: feed retouched image (+0*det) to next iter
         return im + 0.0 * det.sum()
 
-    def run_n(n):
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def run(avars, yvars, x, n):
-            return jax.lax.fori_loop(
-                0, n, lambda i, x: one_image(avars, yvars, x), x).mean()
+    @jax.jit
+    def run(avars, yvars, x, n):
+        return jax.lax.fori_loop(
+            0, n, lambda i, x: one_image(avars, yvars, x), x).mean()
 
-        float(run(agent_vars, yolo_vars, img0, n=n))  # compile + warm
+    def run_n(n):
+        n = jnp.int32(n)  # traced bound: one compile serves every n
+        float(run(agent_vars, yolo_vars, img0, n))  # compile + warm
         t0 = time.perf_counter()
-        float(run(agent_vars, yolo_vars, img0, n=n))
+        float(run(agent_vars, yolo_vars, img0, n))
         return time.perf_counter() - t0
 
     img0 = jnp.asarray(rng.rand(1, size, size, 3).astype(np.float32))
@@ -296,41 +355,164 @@ def bench_train_step(batch=8, imgsz=512):
     return per
 
 
-def main():
-    # --quick limits the run to the render metric; the default is the full
-    # BASELINE.md primary-metric set (VERDICT r1 #7).
-    quick = "--quick" in sys.argv
-    extras = {}
-    tpu = bench_tpu_render()
+def _section_render():
+    return {"render_mpix_s": round(bench_tpu_render(), 2)}
+
+
+def _section_nlm():
+    t_pallas, t_xla = bench_nlm()
+    return {"nlm_pallas_ms": round(t_pallas * 1e3, 3),
+            "nlm_xla_ms": round(t_xla * 1e3, 3)}
+
+
+def _section_adaptive():
+    return {"adaptive_inference_ms_img":
+            round(bench_adaptive_inference() * 1e3, 3)}
+
+
+def _section_adaptive_bf16():
+    return {"adaptive_inference_bf16_ms_img":
+            round(bench_adaptive_inference(half=True) * 1e3, 3)}
+
+
+def _section_train():
+    return {"train_steps_per_sec": round(1.0 / bench_train_step(), 3)}
+
+
+# cheapest first; the train step (a ~5-min cold compile through the tunneled
+# remote-compile service) goes LAST so a stall can only cost itself.
+# est = rough warm-cache wall seconds, used only to decide whether a section
+# is worth starting with the time left.
+_SECTIONS = [
+    ("render", 60, _section_render),
+    ("nlm", 45, _section_nlm),
+    ("adaptive-inference", 90, _section_adaptive),
+    ("adaptive-inference-bf16", 90, _section_adaptive_bf16),
+    ("train-step", 120, _section_train),
+]
+
+
+def _run_section_subprocess(name, deadline):
+    """Run one section in a child python with a HARD timeout.
+
+    Round 3's bench died inside a tunnel compile (rc=124, no metrics), and
+    this round's first SIGALRM backstop fired 81 s late — Python cannot
+    deliver signals while blocked in native RPC code.  A child process can
+    always be SIGKILLed, so a stalled section costs its deadline and nothing
+    else.  The child shares the persistent compile cache, so anything it DID
+    finish compiling is not wasted on a retry."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--section", name]
     try:
-        t_pallas, t_xla = bench_nlm()
-        extras["nlm_pallas_ms"] = round(t_pallas * 1e3, 3)
-        extras["nlm_xla_ms"] = round(t_xla * 1e3, 3)
-    except Exception as e:  # secondary metric must not break the bench line
-        log(f"NLM bench skipped: {e}")
-    if not quick:
-        try:
-            extras["adaptive_inference_ms_img"] = round(
-                bench_adaptive_inference() * 1e3, 3)
-        except Exception as e:
-            log(f"adaptive-inference bench skipped: {e}")
-        try:
-            extras["adaptive_inference_bf16_ms_img"] = round(
-                bench_adaptive_inference(half=True) * 1e3, 3)
-        except Exception as e:
-            log(f"bf16 adaptive-inference bench skipped: {e}")
-        try:
-            extras["train_steps_per_sec"] = round(1.0 / bench_train_step(), 3)
-        except Exception as e:
-            log(f"train-step bench skipped: {e}")
-    cpu = bench_cpu_reference_proxy()
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=deadline, cwd=os.path.dirname(
+                                  os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired as e:
+        log(f"bench: section {name} KILLED at its {deadline:.0f}s deadline")
+        if e.stderr:
+            log(e.stderr if isinstance(e.stderr, str)
+                else e.stderr.decode(errors="replace"))
+        return {}
+    if proc.stderr:
+        log(proc.stderr.rstrip())
+    if proc.returncode != 0:
+        log(f"bench: section {name} exited rc={proc.returncode}")
+        return {}
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    log(f"bench: section {name} produced no JSON fragment")
+    return {}
+
+
+_RESULT = {"tpu": None, "cpu": None, "extras": {}, "emitted": False}
+
+
+def _emit():
+    """Print the ONE JSON line from whatever has been measured so far."""
+    if _RESULT["emitted"]:
+        return
+    _RESULT["emitted"] = True
+    tpu = _RESULT["tpu"] or 0.0
+    cpu = _RESULT["cpu"]
     print(json.dumps({
         "metric": "fused_isp_render_throughput",
         "value": round(tpu, 2),
         "unit": "MPix/s/chip",
-        "vs_baseline": round(tpu / cpu, 2),
-        "extras": extras,
-    }))
+        "vs_baseline": round(tpu / cpu, 2) if cpu else None,
+        "extras": _RESULT["extras"],
+    }), flush=True)
+
+
+def _on_signal(signum, frame):
+    log(f"bench: signal {signum} at {elapsed():.0f}s — emitting partial "
+        f"results and exiting")
+    _emit()
+    sys.exit(0)
+
+
+def main():
+    # --section NAME: child mode — run ONE secondary section and print its
+    # JSON fragment (the parent isolates each section in a subprocess it can
+    # always kill; see _run_section_subprocess).
+    if "--section" in sys.argv:
+        _enable_compile_cache()
+        name = sys.argv[sys.argv.index("--section") + 1]
+        fn = {n: f for n, _, f in _SECTIONS}[name]
+        print(json.dumps(fn()), flush=True)
+        return
+
+    # --quick limits the run to the render metric; the default is the full
+    # BASELINE.md primary-metric set (VERDICT r1 #7).  The run self-budgets
+    # (BENCH_BUDGET_S, default 480 s): round 3's bench hit the driver's
+    # external timeout inside a tunnel compile (rc=124) and recorded NO
+    # metrics.  Secondary sections run in killable subprocesses, cheapest
+    # first, the 5-min-cold-compile train step last; SIGTERM/SIGINT/SIGALRM
+    # emit the JSON line with whatever was measured.
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    signal.signal(signal.SIGALRM, _on_signal)
+    signal.alarm(int(_budget()) + 30)
+    _enable_compile_cache()
+    quick = "--quick" in sys.argv
+    extras = _RESULT["extras"]
+    # cheap CPU baseline first so the JSON line is complete even on early
+    # exit (numpy/torch only — no tunnel involved)
+    _RESULT["cpu"] = bench_cpu_reference_proxy()
+
+    # the primary render metric ALSO runs in a killable subprocess: a
+    # stalled tunnel compile in the main process can't be interrupted (the
+    # SIGALRM backstop measured 81 s late inside native RPC).  One retry —
+    # whatever the first attempt finished compiling is in the persistent
+    # cache, so the retry resumes rather than repeats.
+    for attempt in range(2):
+        deadline = max(60.0, remaining() - (180 if attempt == 0 else 45))
+        frag = _run_section_subprocess("render", deadline)
+        if "render_mpix_s" in frag:
+            _RESULT["tpu"] = frag["render_mpix_s"]
+            break
+        log(f"bench: render attempt {attempt + 1} failed "
+            f"({remaining():.0f}s left)")
+    log(f"bench: render done at {elapsed():.0f}s ({remaining():.0f}s left)")
+
+    if not quick:
+        for name, est, _ in _SECTIONS:
+            if name == "render":
+                continue
+            deadline = remaining() - 15  # reserve for the final emit
+            if deadline < est:
+                log(f"bench: skipping {name} (est {est:.0f}s > "
+                    f"{deadline:.0f}s usable)")
+                continue
+            extras.update(_run_section_subprocess(name, deadline))
+            log(f"bench: {name} done at {elapsed():.0f}s "
+                f"({remaining():.0f}s left)")
+    _emit()
 
 
 if __name__ == "__main__":
