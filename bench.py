@@ -61,10 +61,18 @@ def _budget() -> float:
     emits the JSON line with whatever was measured so far."""
     import os
 
+    # Default calibration.  Fully-warm quiet-host runs measure ~40-160 s for
+    # the render primary + ~600 s for all five extras (one shared child);
+    # under host CPU contention cache DESERIALIZATION itself crawls (render
+    # observed at 401 s warm), so the budget leaves contention headroom.
+    # The driver's external timeout is bounded below by round 2's bench,
+    # which passed rc=0 through >= 15-20 min of fully-cold in-process
+    # compiles — and overshooting is non-fatal anyway: SIGTERM emits the
+    # JSON line with every fragment streamed so far.
     try:
-        return float(os.environ.get("BENCH_BUDGET_S", "480"))
+        return float(os.environ.get("BENCH_BUDGET_S", "1500"))
     except ValueError:
-        return 480.0
+        return 1500.0
 
 
 def elapsed() -> float:
@@ -280,6 +288,80 @@ def bench_adaptive_inference(size=512, steps=5, iters=64, half=False):
     return dt
 
 
+def bench_adaptive_throughput(batch=8, size=512, steps=5, iters=16):
+    """Serving-mode adaptive inference: batched rollout (per-image actions
+    via the differentiable blend render — the validator's batch>1 path,
+    eval/validator.py:68) + YOLOv3 + decode + NMS over the whole batch in
+    ONE jitted program.  Reports imgs/s — the throughput complement to the
+    reference's batch-1 latency protocol (val_adaptiveisp.py:466-470)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptiveisp_tpu.config import Config
+    from adaptiveisp_tpu.detect.model import create_detector, \
+        decode_predictions
+    from adaptiveisp_tpu.detect.nms import non_max_suppression
+    from adaptiveisp_tpu.policy.agent import create_agent_state
+    from adaptiveisp_tpu.policy.states import get_initial_states
+
+    cfg = Config()
+    ka, ky = jax.random.split(jax.random.PRNGKey(0))
+    agent, agent_vars = create_agent_state(cfg, ka, image_size=size, batch=1)
+    yolo, yolo_vars = create_detector(ky, imgsz=256, dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    noises = jnp.asarray(rng.rand(steps, batch, cfg.z_dim).astype(np.float32))
+    states0 = jnp.asarray(get_initial_states(batch, cfg.num_state_dim))
+
+    def one_batch(avars, yvars, img):
+        st = states0
+        stop = jnp.zeros((batch,), jnp.float32)
+
+        def body(carry, z):
+            im, st, stop = carry
+            out, new_st, _, _, _, info = agent.apply(
+                avars, im, z, st, 1.0, train=False,
+                selected_filter_id=jnp.int32(-1), render="blend")
+            keep = stop[:, None, None, None] > 0
+            im = jnp.where(keep, im, out)
+            st = jnp.where(stop[:, None] > 0, st, new_st)
+            stop = jnp.maximum(stop, st[:, 1])
+            return (im, st, stop), None
+
+        (im, _, _), _ = jax.lax.scan(body, (img, st, stop), noises)
+        preds = yolo.apply(yvars, im, train=False)
+        dec = decode_predictions(preds)
+        det, n = non_max_suppression(dec, conf_thres=0.001, iou_thres=0.6,
+                                     max_det=300, multi_label=True)
+        return im + 0.0 * det.sum()
+
+    @jax.jit
+    def run(avars, yvars, x, n):
+        return jax.lax.fori_loop(
+            0, n, lambda i, x: one_batch(avars, yvars, x), x).mean()
+
+    img0 = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
+
+    def run_n(n):
+        n = jnp.int32(n)
+        float(run(agent_vars, yolo_vars, img0, n))  # compile + warm
+        t0 = time.perf_counter()
+        float(run(agent_vars, yolo_vars, img0, n))
+        return time.perf_counter() - t0
+
+    short, long = max(1, iters // 4), iters
+    samples = []
+    for _ in range(3):
+        t_short, t_long = run_n(short), run_n(long)
+        samples.append((t_long - t_short) / (long - short))
+    dt = sorted(samples)[1]
+    ips = batch / dt
+    log(f"adaptive throughput: {ips:.1f} imgs/s ({dt * 1e3 / batch:.2f} "
+        f"ms/img amortized; {steps}-step blend rollout + bf16 YOLOv3 + NMS, "
+        f"batch {batch} @ {size}px)")
+    return ips
+
+
 def bench_train_step(batch=8, imgsz=512):
     """RL train step throughput (BASELINE config 4).  The full-YOLOv3 train
     graph takes ~5 min to compile through the tunneled remote-compile
@@ -379,17 +461,88 @@ def _section_train():
     return {"train_steps_per_sec": round(1.0 / bench_train_step(), 3)}
 
 
+def _section_throughput():
+    return {"adaptive_throughput_imgs_s":
+            round(bench_adaptive_throughput(), 2)}
+
+
 # cheapest first; the train step (a ~5-min cold compile through the tunneled
 # remote-compile service) goes LAST so a stall can only cost itself.
 # est = rough warm-cache wall seconds, used only to decide whether a section
 # is worth starting with the time left.
+# extras ordered by VALUE, not cost: under pressure the batch child streams
+# fragments in this order and a deadline kill keeps the prefix — the train
+# step and batch-1 latency are the headline secondary metrics, the nlm
+# kernel split and the bf16/batched variants are bonuses.  (Cold-cache cost
+# ordering matters less: the persistent .jax_cache ships with the checkout
+# the driver runs in, and the retry pass mops up what the batch missed.)
 _SECTIONS = [
     ("render", 60, _section_render),
-    ("nlm", 45, _section_nlm),
-    ("adaptive-inference", 90, _section_adaptive),
-    ("adaptive-inference-bf16", 90, _section_adaptive_bf16),
     ("train-step", 120, _section_train),
+    ("adaptive-inference", 90, _section_adaptive),
+    ("nlm", 45, _section_nlm),
+    ("adaptive-inference-bf16", 90, _section_adaptive_bf16),
+    ("adaptive-throughput", 90, _section_throughput),
 ]
+
+
+def _run_sections_batched(names, deadline, extras, done_out):
+    """Run several sections sequentially in ONE child python.
+
+    Each per-section subprocess pays the same ~30-70 s jax/TPU tunnel setup
+    before any measurement; batching pays it once.  The child prints a
+    CUMULATIVE JSON fragment line after every section, and the parent
+    STREAMS those lines into `extras` as they arrive — so a SIGTERM that
+    lands while the batch is mid-flight (driver timeout) still emits
+    everything that finished, and a deadline kill loses nothing either.
+    Finished section names are appended to `done_out`."""
+    import selectors
+    import subprocess
+    import tempfile
+
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--sections", ",".join(names)]
+    errf = tempfile.TemporaryFile(mode="w+")
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=errf,
+                            text=True, cwd=os.path.dirname(
+                                os.path.abspath(__file__)))
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    t_end = time.perf_counter() + deadline
+    try:
+        while True:
+            left = t_end - time.perf_counter()
+            if left <= 0:
+                log(f"bench: batched sections KILLED at the "
+                    f"{deadline:.0f}s deadline")
+                proc.kill()
+                break
+            if not sel.select(timeout=min(left, 5.0)):
+                if proc.poll() is not None:
+                    break  # child exited, pipe drained
+                continue
+            line = proc.stdout.readline()
+            if line == "":
+                break  # EOF
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    extras.update(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+            elif line.startswith("#section-done "):
+                done_out.append(line.split(" ", 1)[1].strip())
+    finally:
+        try:
+            proc.kill()
+        except OSError:
+            pass
+        proc.wait()
+        errf.seek(0)
+        err = errf.read()
+        if err:
+            log(err.rstrip())
+        errf.close()
 
 
 def _run_section_subprocess(name, deadline):
@@ -467,6 +620,25 @@ def main():
         print(json.dumps(fn()), flush=True)
         return
 
+    # --sections a,b,c: child mode — run several sections in ONE process
+    # (sharing the jax/tunnel setup), printing a CUMULATIVE JSON fragment
+    # and a "#section-done NAME" marker after each, so a parent that kills
+    # this child at a deadline still reads everything that finished.
+    if "--sections" in sys.argv:
+        _enable_compile_cache()
+        names = sys.argv[sys.argv.index("--sections") + 1].split(",")
+        fns = {n: f for n, _, f in _SECTIONS}
+        acc = {}
+        for name in names:
+            try:
+                acc.update(fns[name]())
+            except Exception as e:  # keep going: later sections still count
+                log(f"bench: section {name} failed in batch mode: {e!r}")
+                continue
+            print(json.dumps(acc), flush=True)
+            print(f"#section-done {name}", flush=True)
+        return
+
     # --quick limits the run to the render metric; the default is the full
     # BASELINE.md primary-metric set (VERDICT r1 #7).  The run self-budgets
     # (BENCH_BUDGET_S, default 480 s): round 3's bench hit the driver's
@@ -491,7 +663,13 @@ def main():
     # whatever the first attempt finished compiling is in the persistent
     # cache, so the retry resumes rather than repeats.
     for attempt in range(2):
-        deadline = max(60.0, remaining() - (180 if attempt == 0 else 45))
+        # attempt 0 is capped (observed: 363 s cold compile; 401 s warm
+        # under host CPU contention) so a stalled render can't starve the
+        # extras; attempt 1 gets the rest minus an extras reserve.
+        if attempt == 0:
+            deadline = max(60.0, min(remaining() - 600, 480))
+        else:
+            deadline = max(60.0, remaining() - 300)
         frag = _run_section_subprocess("render", deadline)
         if "render_mpix_s" in frag:
             _RESULT["tpu"] = frag["render_mpix_s"]
@@ -501,17 +679,31 @@ def main():
     log(f"bench: render done at {elapsed():.0f}s ({remaining():.0f}s left)")
 
     if not quick:
-        for name, est, _ in _SECTIONS:
-            if name == "render":
-                continue
-            deadline = remaining() - 15  # reserve for the final emit
-            if deadline < est:
-                log(f"bench: skipping {name} (est {est:.0f}s > "
-                    f"{deadline:.0f}s usable)")
-                continue
-            extras.update(_run_section_subprocess(name, deadline))
-            log(f"bench: {name} done at {elapsed():.0f}s "
+        # Pass 1: ALL extra sections run sequentially in ONE child (paying
+        # the ~30-70 s jax/tunnel setup once), cheapest first, emitting a
+        # cumulative fragment after each — a deadline kill keeps everything
+        # that finished.  Pass 2: sections the batch didn't reach retry in
+        # individually-killable subprocesses with the leftover budget (their
+        # partial compiles are in the persistent cache, so retries resume).
+        names = [n for n, _, _ in _SECTIONS if n != "render"]
+        ests = {n: est for n, est, _ in _SECTIONS}
+        deadline = remaining() - 15  # reserve for the final emit
+        if deadline > 60:
+            done = []
+            _run_sections_batched(names, deadline, extras, done)
+            log(f"bench: batched extras done={done} at {elapsed():.0f}s "
                 f"({remaining():.0f}s left)")
+            names = [n for n in names if n not in done]
+        for name in names:
+            usable = remaining() - 15
+            if usable < ests[name]:
+                log(f"bench: skipping {name} retry (est {ests[name]:.0f}s "
+                    f"> {usable:.0f}s usable)")
+                continue
+            frag = _run_section_subprocess(name, usable)
+            extras.update(frag)
+            log(f"bench: {name} retry {'done' if frag else 'MISSED'} at "
+                f"{elapsed():.0f}s ({remaining():.0f}s left)")
     _emit()
 
 
