@@ -50,8 +50,19 @@ def timed_chain(fn, x0, iters_short=2, iters_long=10, repeats=5):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # share bench.py's persistent compile cache so profiling runs never
+    # re-pay the tunneled remote compiles (content-addressed by HLO hash)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/root/repo/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     from adaptiveisp_tpu.config import Config, TrainConfig
     from adaptiveisp_tpu.detect.loss import LossHyp
@@ -158,6 +169,20 @@ def main():
 
     print(f"blend render fwd+bwd:{timed_chain(blend_fb, img)*1e3:7.2f} ms",
           flush=True)
+
+    # ---- production blend: hard one-hot + gated NLM ----------------------
+    sel = jnp.asarray(rng.randint(0, n_filters, size=(batch,)))
+    onehot = jax.nn.one_hot(sel, n_filters, dtype=jnp.float32)
+
+    @jax.jit
+    def blend_gated_fb(x):
+        def loss(pl):
+            return bank.render_blend(cfg, x, pl, onehot).mean()
+        g = jax.grad(loss)(params_list)
+        return x + g[0].mean() * 0.0 + 1e-6
+
+    print(f"gated blend fwd+bwd: {timed_chain(blend_gated_fb, img)*1e3:7.2f}"
+          " ms", flush=True)
 
     # ---- NLM alone fwd+bwd ------------------------------------------------
     from adaptiveisp_tpu.ops import denoise as dn
