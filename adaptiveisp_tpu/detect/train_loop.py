@@ -238,7 +238,8 @@ class DetectorTrainer:
                  val_batches: Optional[int] = None,
                  mesh=None, plots: bool = False, names=None,
                  noval: bool = False, nosave: bool = False,
-                 save_period: int = -1, image_weights: bool = False):
+                 save_period: int = -1, image_weights: bool = False,
+                 callbacks=None, loggers: bool = True):
         self.model = model
         self.spec = spec
         self.train_ds = train_ds
@@ -298,6 +299,17 @@ class DetectorTrainer:
         self.stopper = EarlyStopping(self.cfg.patience)
         self.best_fitness = 0.0
         self.history: List[EpochLog] = []
+        # hook bus + logging backends (reference Loggers hub injected at
+        # train.py:93-107): every epoch/save/end event fans out to the
+        # TB+JSONL writer AND the offline run directory through the bus,
+        # so extra sinks can register without touching this loop
+        from adaptiveisp_tpu.obs.callbacks import Callbacks
+
+        self.callbacks = callbacks if callbacks is not None else Callbacks()
+        if loggers and save_dir is not None:
+            from adaptiveisp_tpu.obs.loggers import Loggers
+
+            Loggers(save_dir, self.callbacks, config=self.cfg)
 
         # multi-scale: discrete stride-multiple sizes in the reference's
         # 0.5-1.5x band (train.py:310-316); each size compiles once.
@@ -449,6 +461,7 @@ class DetectorTrainer:
         epochs = epochs or self.cfg.epochs
         if self.plots:
             self._plot_labels()
+        self.callbacks.run("on_train_start")
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
             if self.image_weights:
@@ -490,14 +503,21 @@ class DetectorTrainer:
                 self._save("last.pkl", epoch, fit)
                 if self.save_period > 0 and epoch % self.save_period == 0:
                     self._save(f"epoch{epoch}.pkl", epoch, fit)
+                if self.save_dir is not None:
+                    self.callbacks.run(
+                        "on_model_save",
+                        os.path.join(self.save_dir, "last.pkl"), epoch, fit)
 
             lr_now = float(self._lr_fn(int(jax.device_get(self.state.step))))
             log = EpochLog(epoch, loss, lr_now, metrics, fit,
                            time.time() - t0)
             self.history.append(log)
             self._append_csv(log)
+            self.callbacks.run("on_fit_epoch_end", self._flat_metrics(log),
+                               epoch)
             if self.stopper(epoch, fit):
                 break
+        self.callbacks.run("on_train_end")
         if self.plots and self.history:
             from adaptiveisp_tpu.obs.plots import plot_results
 
@@ -514,17 +534,14 @@ class DetectorTrainer:
             self.spec, max_batches=self.val_batches, plots=True,
             save_dir=self.save_dir, names=self.names)
 
-    def _append_csv(self, log: EpochLog):
-        """Per-epoch results.csv (the reference Loggers' csv sink,
-        utils/loggers/__init__.py:61-134)."""
-        if self.save_dir is None:
-            return
-        os.makedirs(self.save_dir, exist_ok=True)
-        path = os.path.join(self.save_dir, "results.csv")
+    @staticmethod
+    def _flat_metrics(log: EpochLog) -> Dict[str, float]:
+        """One flat scalar dict per epoch — the row every logging sink
+        (csv / TB / offline run dir) receives."""
         flat = {"epoch": log.epoch, "loss": log.loss, "lr": log.lr,
                 "fitness": log.fitness, "seconds": round(log.seconds, 2)}
         for k, v in log.metrics.items():
-            if k == "class_ap":  # per-class-id vector, not a csv column
+            if k == "class_ap":  # per-class-id vector, not a scalar column
                 continue
             if isinstance(v, dict):
                 for k2, v2 in v.items():
@@ -532,6 +549,16 @@ class DetectorTrainer:
                         flat[f"{k}/{k2}"] = v2
             elif isinstance(v, (int, float)):
                 flat[k] = v
+        return flat
+
+    def _append_csv(self, log: EpochLog):
+        """Per-epoch results.csv (the reference Loggers' csv sink,
+        utils/loggers/__init__.py:61-134)."""
+        if self.save_dir is None:
+            return
+        os.makedirs(self.save_dir, exist_ok=True)
+        path = os.path.join(self.save_dir, "results.csv")
+        flat = self._flat_metrics(log)
         new = not os.path.exists(path)
         with open(path, "a") as f:
             if new:

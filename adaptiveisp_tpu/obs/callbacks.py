@@ -7,6 +7,7 @@ fan-out.  Used by the trainers for pluggable logging backends.
 
 from __future__ import annotations
 
+import threading
 from typing import Callable, Dict, List
 
 HOOKS = (
@@ -34,7 +35,16 @@ class Callbacks:
     def get_registered_actions(self, hook: str = None):
         return self._callbacks[hook] if hook else self._callbacks
 
-    def run(self, hook: str, *args, **kwargs):
+    def run(self, hook: str, *args, thread: bool = False, **kwargs):
+        """Fire every handler registered on ``hook``.
+
+        thread=True runs each handler on its own daemon thread (the
+        reference's async dispatch, utils/callbacks.py:60-76) so slow
+        logging backends can't stall the training loop."""
         assert hook in self._callbacks, f"unknown hook {hook}"
         for logger in self._callbacks[hook]:
-            logger["callback"](*args, **kwargs)
+            if thread:
+                threading.Thread(target=logger["callback"], args=args,
+                                 kwargs=kwargs, daemon=True).start()
+            else:
+                logger["callback"](*args, **kwargs)

@@ -67,6 +67,7 @@ REGISTRY = {
     "denoise": _spec("denoise", "NLM", 1, F.squash_denoise, F.apply_denoise,
                      gated=True),
     "tone": _spec("tone", "T", 8, F.squash_tone, F.apply_tone),
+    "tone_v2": _spec("tone_v2", "T", 8, F.squash_tone_v2, F.apply_tone_v2),
     "contrast": _spec("contrast", "Ct", 1, F.squash_contrast,
                       F.apply_contrast),
     "saturation_plus": _spec("saturation_plus", "S+", 1,
@@ -87,6 +88,7 @@ def filter_specs(cfg) -> Tuple[FilterSpec, ...]:
 # DEFAULT curve_steps=8 values) — resolve them per-config so a custom
 # curve_steps can't silently corrupt the policy head/squash reshape
 _CFG_PARAMS = {"tone": lambda cfg: cfg.curve_steps,
+               "tone_v2": lambda cfg: cfg.curve_steps,
                "color": lambda cfg: 3 * cfg.curve_steps}
 
 

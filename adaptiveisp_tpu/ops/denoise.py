@@ -102,6 +102,69 @@ def nlm_gray_dispatch(rgb, h, use_pallas: bool = True, gate=None):
     return out
 
 
+def _box_sum_reflect(x, window_size: int):
+    """Box sum over H, W with REFLECT boundary (the unfold variant's
+    semantics, reference denoise.py:150-153: the per-offset squared
+    differences are reflect-padded before the window aggregation).
+
+    Separable: pad once, then ws row-slices + ws column-slices."""
+    pad = (window_size - 1) // 2
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    row = xp[:, 0:h, :, :]
+    for i in range(1, window_size):
+        row = row + xp[:, i:i + h, :, :]
+    out = row[:, :, 0:w, :]
+    for j in range(1, window_size):
+        out = out + row[:, :, j:j + w, :]
+    return out
+
+
+def nlm_param(rgb, h, search_window_size: int = 21):
+    """Learnable-strength unfold NLM (reference NonLocalMeansParam,
+    denoise.py:122-181).
+
+    Differences from :func:`nlm_gray`, matching the reference variant:
+      * boundary handling is REFLECT (``F.pad(..., mode='reflect')`` +
+        ``unfold``), not circular roll;
+      * the distance aggregation window is the full *search* window
+        (the reference's second ``unfold`` uses ``search_window_size``,
+        denoise.py:152 — its ``patch_size`` ``box_sum`` is constructed but
+        unused in ``forward``);
+      * ``h`` is a single learnable scalar (an ``nn.Parameter`` there; a
+        traced scalar/[1] argument here so optax can own it).
+
+    rgb: [N, H, W, 3]; h: scalar or [1].  Returns [N, H, W, 3] in [0, 1].
+    """
+    ws = search_window_size
+    pad = (ws - 1) // 2
+    n, height, width, _ = rgb.shape
+    y = rgb_to_luminance(rgb)  # [N, H, W, 1]
+    pads = ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    y_pad = jnp.pad(y, pads, mode="reflect")
+    rgb_pad = jnp.pad(rgb, pads, mode="reflect")
+    hh = jnp.maximum(jnp.reshape(h, ()), 0.0) + EPS
+
+    # per-offset squared luminance differences, stacked on channels so the
+    # reflect box sum runs ONCE over all K = ws*ws offsets
+    dis0 = jnp.concatenate(
+        [(y - y_pad[:, dy:dy + height, dx:dx + width, :]) ** 2
+         for dy in range(ws) for dx in range(ws)], axis=-1)  # [N,H,W,K]
+    dist = _safe_sqrt(_box_sum_reflect(dis0, ws))
+    weights = jnp.exp(-dist / hh)  # [N, H, W, K]
+
+    denoised = jnp.zeros_like(rgb)
+    k = 0
+    for dy in range(ws):
+        for dx in range(ws):
+            denoised = denoised + (
+                weights[..., k:k + 1]
+                * rgb_pad[:, dy:dy + height, dx:dx + width, :])
+            k += 1
+    return jnp.clip(denoised / jnp.sum(weights, axis=-1, keepdims=True),
+                    0.0, 1.0)
+
+
 def nlm_rgb(rgb, h, search_window_size: int = 21, patch_size: int = 7):
     """RGB-distance non-local means (reference NonLocalMeans, :68-90)."""
     r = search_window_size // 2

@@ -127,6 +127,23 @@ def apply_tone(cfg, img, param):
     return total * (steps / curve_sum)[:, None, None, None]
 
 
+def squash_tone_v2(cfg, feat):
+    return squash_tone(cfg, feat)
+
+
+def apply_tone_v2(cfg, img, param):
+    """ToneFilterV2 (reference filters.py:365-402).
+
+    The reference V2 differs from ToneFilter only in ``process`` expanding a
+    flat [N, steps] parameter itself (``param[:, :, None, None, None]``,
+    filters.py:378) instead of requiring the regressor's pre-broadcast
+    5-D curve — the curve math is identical.  This functional design always
+    passes flat [N, steps] params, so V2 shares ToneFilter's apply; the
+    registry row exists so configs naming ``tone_v2`` resolve.
+    """
+    return apply_tone(cfg, img, param)
+
+
 # --------------------------------------------------------------------------- #
 # Contrast
 # --------------------------------------------------------------------------- #

@@ -172,3 +172,55 @@ def test_depthwise_conv3x3_matches_lax_conv():
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-6)
+
+
+# --------------------------------------------------------------------------- #
+# NonLocalMeansParam (reference denoise.py:122-181): unfold NLM, learnable h
+# --------------------------------------------------------------------------- #
+def np_nlm_param(rgb, h, ws):
+    """NumPy oracle of the unfold variant: REFLECT boundary, distance
+    aggregation over the full search window (the reference's second unfold
+    reuses search_window_size, denoise.py:152), scalar h."""
+    pad = (ws - 1) // 2
+    n, hh_, ww_, _ = rgb.shape
+    img = np.clip(rgb, 0, 1)
+    y = (0.299 * img[..., :1] + 0.587 * img[..., 1:2] + 0.114 * img[..., 2:])
+    sp = ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    y_pad = np.pad(y, sp, mode="reflect")
+    rgb_pad = np.pad(rgb, sp, mode="reflect")
+    hh = max(float(h), 0.0) + 1e-8
+    num = np.zeros_like(rgb)
+    den = np.zeros((n, hh_, ww_, 1), rgb.dtype)
+    for dy in range(ws):
+        for dx in range(ws):
+            dis0 = (y - y_pad[:, dy:dy + hh_, dx:dx + ww_, :]) ** 2
+            dis0p = np.pad(dis0, sp, mode="reflect")
+            dis = np.zeros_like(dis0)
+            for by in range(ws):
+                for bx in range(ws):
+                    dis += dis0p[:, by:by + hh_, bx:bx + ww_, :]
+            w = np.exp(-np.sqrt(np.maximum(dis, 0.0)) / hh)
+            num += w * rgb_pad[:, dy:dy + hh_, dx:dx + ww_, :]
+            den += w
+    return np.clip(num / den, 0.0, 1.0)
+
+
+def test_nlm_param_matches_numpy():
+    rgb = RNG.rand(2, 12, 12, 3).astype(np.float32)
+    for h in (0.5, 0.05):
+        got = np.asarray(D.nlm_param(jnp.asarray(rgb), jnp.asarray(h),
+                                     search_window_size=5))
+        want = np_nlm_param(rgb, h, 5)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_nlm_param_h_is_learnable():
+    """h carries a finite, nonzero gradient (the reference makes it an
+    nn.Parameter; here it is a traced argument an optimizer can own)."""
+    import jax
+
+    rgb = jnp.asarray(RNG.rand(1, 10, 10, 3).astype(np.float32))
+    g = jax.grad(lambda hh: D.nlm_param(rgb, hh,
+                                        search_window_size=5).mean())(
+        jnp.asarray(0.3))
+    assert np.isfinite(float(g)) and abs(float(g)) > 0

@@ -305,6 +305,26 @@ def test_trainer_epoch_loop_and_checkpoints(shapes_dataset, tmp_path):
     assert (jax.tree_util.tree_structure(best["ema"])
             == jax.tree_util.tree_structure(best["model"]["params"]))
 
+    # ---- logger fan-out: BOTH backends produced artifacts through the
+    # hook bus (reference loggers/__init__.py:61-134) ----
+    import json
+
+    # backend 1: MetricWriter's always-on JSONL (TB event files too when
+    # torch.utils.tensorboard imports)
+    rows = [json.loads(l) for l in
+            (tmp_path / "logs" / "metrics.jsonl").read_text().splitlines()]
+    assert {r["tag"] for r in rows} >= {"loss", "fitness", "map50"}
+    # backend 2: the offline run directory (W&B-offline-style layout)
+    runs = list(tmp_path.glob("offline-run-*"))
+    assert len(runs) == 1
+    hist = [json.loads(l) for l in
+            (runs[0] / "history.jsonl").read_text().splitlines()]
+    assert len([r for r in hist if "fitness" in r]) == 3  # one per epoch
+    summary = json.loads((runs[0] / "summary.json").read_text())
+    assert summary["epoch"] == 2 and "saved_fitness" in summary
+    meta = json.loads((runs[0] / "meta.json").read_text())
+    assert meta["config"]["epochs"] == 3
+
 
 def test_trainer_multi_scale_sizes():
     model, variables = create_detector(

@@ -292,3 +292,31 @@ def test_get_mask_none_params_renders_unmasked():
     out = bank.render_fixed(cfg, img, "exposure",
                             jnp.asarray([[1.0]], jnp.float32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tone_v2_registry_row():
+    """ToneFilterV2 (reference filters.py:365-402): identical curve math to
+    ToneFilter — the reference delta is only ``process`` expanding a flat
+    [N, steps] param itself.  The registry row must resolve and agree with
+    tone exactly, and its n_params must follow cfg.curve_steps."""
+    img = rand_img()
+    feat = RNG.randn(2, 8).astype(np.float32)
+    spec = bank.get_spec(CFG, "tone_v2")
+    assert spec.n_params == 8
+    p = spec.squash(CFG, jnp.asarray(feat))
+    got = np.asarray(spec.apply(CFG, jnp.asarray(img), p))
+    want = np.asarray(F.apply_tone(CFG, jnp.asarray(img),
+                                   F.squash_tone(CFG, jnp.asarray(feat))))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    cfg16 = CFG.replace(curve_steps=16)
+    assert bank.get_spec(cfg16, "tone_v2").n_params == 16
+
+    # a config naming tone_v2 renders end to end through the blend path
+    cfg = CFG.replace(filters=("exposure", "tone_v2"))
+    pl = [jnp.asarray(RNG.randn(2, n).astype(np.float32))
+          for n in bank.param_counts(cfg)]
+    pl = [s.squash(cfg, p) for s, p in zip(bank.filter_specs(cfg), pl)]
+    onehot = jnp.asarray(np.eye(2, dtype=np.float32))
+    out = bank.render_blend(cfg, jnp.asarray(img), pl, onehot)
+    assert out.shape == img.shape and np.isfinite(np.asarray(out)).all()

@@ -238,3 +238,27 @@ def test_autobatch_detector_surface():
     b = autobatch_detector(model, variables, imgsz=64, fraction=0.8,
                            capacity_bytes=512 * 1024 ** 2, verbose=False)
     assert 1 <= b <= 1024 and (b & (b - 1)) == 0  # a power of two
+
+
+def test_callbacks_threaded_dispatch():
+    """thread=True fires handlers on daemon threads (reference
+    utils/callbacks.py:60-76) so slow backends can't stall the trainer."""
+    import threading
+
+    from adaptiveisp_tpu.obs.callbacks import Callbacks
+
+    cb = Callbacks()
+    done = threading.Event()
+    seen = {}
+
+    def handler(x, key=None):
+        seen["args"] = (x, key)
+        seen["thread"] = threading.current_thread()
+        done.set()
+
+    cb.register_action("on_train_end", "slow", handler)
+    cb.run("on_train_end", 41, key="k", thread=True)
+    assert done.wait(timeout=5.0)
+    assert seen["args"] == (41, "k")
+    assert seen["thread"] is not threading.main_thread()
+    assert seen["thread"].daemon

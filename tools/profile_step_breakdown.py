@@ -5,11 +5,17 @@ component in isolation at the production shape (batch 8 @ 512px):
   - full production train step (reference point)
   - agent fwd+bwd (includes the all-filter blend render)
   - blend render alone fwd+bwd (render_candidates + prob blend)
+  - production gated blend fwd+bwd (hard one-hot + per-image gated NLM)
   - NLM pallas fwd+bwd alone
   - frozen bf16 YOLOv3 fwd+bwd through the image
   - value net (two applies, as the step does) fwd+bwd
 
 Usage: python tools/profile_step_breakdown.py  (TPU; ~10 min incl. compiles)
+
+For contention-immune attribution use tools/trace_breakdown.py instead: one
+jax.profiler trace of the full step, device time per component read from the
+XLA op metadata — no marginal subtraction, so host/tunnel load cannot push
+components negative the way it can here.
 """
 
 import sys
@@ -56,13 +62,22 @@ def main():
     import jax.numpy as jnp
 
     # share bench.py's persistent compile cache so profiling runs never
-    # re-pay the tunneled remote compiles (content-addressed by HLO hash)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                       "/root/repo/.jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # re-pay the tunneled remote compiles (content-addressed by HLO hash);
+    # same opt-out and same repo-relative default as bench.py so the two
+    # tools can't silently diverge to different caches
+    if not os.environ.get("BENCH_NO_COMPILE_CACHE"):
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", -1)
+        except Exception as e:  # cache is an optimization, not a requirement
+            print(f"compile cache unavailable ({e})", flush=True)
 
     from adaptiveisp_tpu.config import Config, TrainConfig
     from adaptiveisp_tpu.detect.loss import LossHyp
