@@ -80,28 +80,35 @@ def make_train_step(agent, value, yolo, cfg, tcfg, anchors_grid,
             imgs, z, states, targets, tmask = batch
 
         # ---- agent forward (train mode, BN batch stats, dropout) --------
-        (retouch, new_states, surrogate, penalty, _, info), agent_mut = (
-            agent.apply({"params": agent_params, "batch_stats": agent_stats},
-                        imgs, z, states, progress, train=True,
-                        rngs={"dropout": dropout_rng},
-                        mutable=["batch_stats"]))
+        # named scopes carry through to HLO op metadata (tf_op paths), so
+        # tools/trace_breakdown.py can attribute device time per component
+        # (fwd AND the autodiff-transposed bwd ops inherit the scope)
+        with jax.named_scope("agent_fwd"):
+            (retouch, new_states, surrogate, penalty, _, info), agent_mut = (
+                agent.apply({"params": agent_params,
+                             "batch_stats": agent_stats},
+                            imgs, z, states, progress, train=True,
+                            rngs={"dropout": dropout_rng},
+                            mutable=["batch_stats"]))
         stopped = new_states[:, STATE_STOPPED_DIM:STATE_STOPPED_DIM + 1]
 
         # ---- frozen detector on input & retouched (train.py:262-271) ----
         if cached_input_loss:
             detect_input_loss = loss_in
         else:
-            pred_input = yolo.apply(yolo_vars, imgs, train=False)
-            detect_input_loss, _ = per_image_loss_batch(
-                pred_input, targets, tmask, anchors_grid, hyp)
-            detect_input_loss = jnp.clip(
-                detect_input_loss * cfg.detect_loss_weight, 0.0, 1.0)
+            with jax.named_scope("yolo_input"):
+                pred_input = yolo.apply(yolo_vars, imgs, train=False)
+                detect_input_loss, _ = per_image_loss_batch(
+                    pred_input, targets, tmask, anchors_grid, hyp)
+                detect_input_loss = jnp.clip(
+                    detect_input_loss * cfg.detect_loss_weight, 0.0, 1.0)
 
-        pred_retouch = yolo.apply(yolo_vars, retouch, train=False)
-        detect_retouch_loss, retouch_comps = per_image_loss_batch(
-            pred_retouch, targets, tmask, anchors_grid, hyp)
-        detect_retouch_loss = jnp.clip(
-            detect_retouch_loss * cfg.detect_loss_weight, 0.0, 1.0)
+        with jax.named_scope("yolo_retouch"):
+            pred_retouch = yolo.apply(yolo_vars, retouch, train=False)
+            detect_retouch_loss, retouch_comps = per_image_loss_batch(
+                pred_retouch, targets, tmask, anchors_grid, hyp)
+            detect_retouch_loss = jnp.clip(
+                detect_retouch_loss * cfg.detect_loss_weight, 0.0, 1.0)
 
         # ---- reward (train.py:273-277) ----------------------------------
         reward = ((cfg.all_reward + (1 - cfg.all_reward) * stopped)
@@ -111,12 +118,14 @@ def make_train_step(agent, value, yolo, cfg, tcfg, anchors_grid,
             reward = reward - penalty
 
         # ---- critic (train.py:282-295) ----------------------------------
-        old_value, value_mut = value.apply(
-            {"params": value_params, "batch_stats": value_stats},
-            imgs, states, train=True, mutable=["batch_stats"])
-        new_value, value_mut2 = value.apply(
-            {"params": value_params, "batch_stats": value_mut["batch_stats"]},
-            retouch, new_states, train=True, mutable=["batch_stats"])
+        with jax.named_scope("value_net"):
+            old_value, value_mut = value.apply(
+                {"params": value_params, "batch_stats": value_stats},
+                imgs, states, train=True, mutable=["batch_stats"])
+            new_value, value_mut2 = value.apply(
+                {"params": value_params,
+                 "batch_stats": value_mut["batch_stats"]},
+                retouch, new_states, train=True, mutable=["batch_stats"])
 
         clear_final = (new_states[:, STATE_STEP_DIM:STATE_STEP_DIM + 1]
                        > cfg.maximum_trajectory_length).astype(jnp.float32)
@@ -181,12 +190,13 @@ def make_train_step(agent, value, yolo, cfg, tcfg, anchors_grid,
             dropout_rng, progress)
         agent_grads, value_grads = grads
 
-        a_updates, a_opt = agent_tx.update(
-            agent_grads, state.agent_opt, state.agent_params)
-        agent_params = optax.apply_updates(state.agent_params, a_updates)
-        v_updates, v_opt = value_tx.update(
-            value_grads, state.value_opt, state.value_params)
-        value_params = optax.apply_updates(state.value_params, v_updates)
+        with jax.named_scope("optimizer"):
+            a_updates, a_opt = agent_tx.update(
+                agent_grads, state.agent_opt, state.agent_params)
+            agent_params = optax.apply_updates(state.agent_params, a_updates)
+            v_updates, v_opt = value_tx.update(
+                value_grads, state.value_opt, state.value_params)
+            value_params = optax.apply_updates(state.value_params, v_updates)
 
         new_state = TrainState(
             agent_params, aux["agent_stats"], a_opt,

@@ -171,6 +171,8 @@ class Trainer:
         # per-step scalar history (reward/losses): the learning-gate tests
         # and the README learning table read trends off this
         self.history: list = []
+        # NaN/brightness guard trips (soak-run observability)
+        self.divergence_count = 0
 
         # ---- replay pool (after the models: cached_reward needs the
         # detector to seed per-slot input losses) ------------------------
@@ -265,6 +267,7 @@ class Trainer:
                             or mean_b < 0.01
                             or mean_b > tcfg.max_brightness)
                 if diverged:
+                    self.divergence_count += 1
                     print(f"retouch diverged (mean={mean_b:.4f}); "
                           f"refreshing slots")
                 self.device_replay.replace(
@@ -280,6 +283,7 @@ class Trainer:
                 mean_b = float(retouch.mean())
                 if (not np.isfinite(retouch).all() or mean_b < 0.01
                         or mean_b > tcfg.max_brightness):
+                    self.divergence_count += 1
                     print(f"retouch diverged (mean={mean_b:.4f}); "
                           f"refilling pool")
                     self.replay.fill_pool()

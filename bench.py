@@ -23,6 +23,44 @@ import numpy as np
 
 _T0 = time.perf_counter()
 
+# Pinned idle-host torch-CPU baseline for the headline denominator
+# (BASELINE.md config 1).  The live proxy measured 12.7 / 15.9 / 7.6 MPix/s
+# across rounds 1/2/4 purely from host CPU contention, swinging the headline
+# multiplier 2-4x.  The denominator is now max(measured, PINNED): the pinned
+# value is the FASTEST idle-host measurement ever observed (round 2), so
+# contention can only make the reported multiplier MORE conservative, never
+# inflate it.  Both the live measurement and the value actually used are
+# emitted in extras.
+PINNED_CPU_MPIX_S = 16.0
+
+
+def _util_extras(prefix, dt, fn=None, args=(), flops=None, bytes_=None):
+    """Roofline extras for one section: {prefix_mfu_pct, prefix_hbm_pct,
+    prefix_gflops, prefix_bound} as available.
+
+    fn+args -> XLA cost_analysis on the optimized HLO (persistent-cache
+    friendly); explicit flops/bytes_ override for Pallas custom calls XLA
+    cannot see inside (analytic speed-of-light accounting).  Never raises —
+    utilization is diagnostics, not the measurement."""
+    try:
+        from adaptiveisp_tpu.obs import roofline
+
+        if fn is not None:
+            cost = roofline.cost_of(fn, *args)
+            flops = cost.get("flops") if flops is None else flops
+            bytes_ = cost.get("bytes") if bytes_ is None else bytes_
+        util = roofline.utilization(dt, flops or 0.0, bytes_ or 0.0)
+        out = {}
+        for k in ("mfu_pct", "hbm_pct", "gflops", "bound"):
+            if k in util:
+                out[f"{prefix}_{k}"] = util[k]
+        if "device" in util:
+            out.setdefault("device", util["device"])
+        return out
+    except Exception as e:
+        log(f"bench: utilization for {prefix} unavailable ({e!r})")
+        return {}
+
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache.
@@ -146,7 +184,12 @@ def bench_tpu_render(batch=8, size=512, iters=2048):
     mpix = batch * size * size / dt / 1e6
     log(f"TPU 5-stage render: {mpix:.1f} MPix/s ({dt * 1e3:.3f} ms/iter, "
         f"batch {batch} @ {size}px, device {jax.devices()[0]})")
-    return mpix
+    # speed-of-light accounting: the fused Pallas run reads + writes the
+    # NHWC f32 frame exactly once (its whole point); XLA cost analysis
+    # cannot see inside the custom call, so the bytes are analytic
+    util = _util_extras("render", dt,
+                        bytes_=2.0 * batch * size * size * 3 * 4)
+    return mpix, util
 
 
 def bench_nlm(batch=4, size=512, iters=32):
@@ -164,7 +207,12 @@ def bench_nlm(batch=4, size=512, iters=32):
     log(f"NLM denoise: pallas {t_pallas * 1e3:.2f} ms  "
         f"xla {t_xla * 1e3:.2f} ms  speedup {t_xla / t_pallas:.2f}x  "
         f"({batch * size * size / t_pallas / 1e6:.0f} MPix/s pallas)")
-    return t_pallas, t_xla
+    # the kernel streams the frame once in + once out (weights stay in
+    # VMEM); effective FLOPs = the XLA variant's cost for the same math
+    util = _util_extras("nlm_pallas", t_pallas,
+                        fn=lambda x: nlm_gray(x, h), args=(img,),
+                        bytes_=2.0 * batch * size * size * 3 * 4)
+    return t_pallas, t_xla, util
 
 
 def bench_cpu_reference_proxy(size=512, iters=3):
@@ -285,7 +333,10 @@ def bench_adaptive_inference(size=512, steps=5, iters=64, half=False):
     log(f"adaptive inference{' (bf16 detector)' if half else ''}: "
         f"{dt * 1e3:.2f} ms/img "
         f"({steps}-step switch rollout + YOLOv3 + NMS, batch 1 @ {size}px)")
-    return dt
+    prefix = "adaptive_bf16" if half else "adaptive"
+    util = _util_extras(prefix, dt, fn=one_image,
+                        args=(agent_vars, yolo_vars, img0))
+    return dt, util
 
 
 def bench_adaptive_throughput(batch=8, size=512, steps=5, iters=16):
@@ -359,7 +410,9 @@ def bench_adaptive_throughput(batch=8, size=512, steps=5, iters=16):
     log(f"adaptive throughput: {ips:.1f} imgs/s ({dt * 1e3 / batch:.2f} "
         f"ms/img amortized; {steps}-step blend rollout + bf16 YOLOv3 + NMS, "
         f"batch {batch} @ {size}px)")
-    return ips
+    util = _util_extras("serving", dt, fn=one_batch,
+                        args=(agent_vars, yolo_vars, img0))
+    return ips, util
 
 
 def bench_train_step(batch=8, imgsz=512):
@@ -434,36 +487,176 @@ def bench_train_step(batch=8, imgsz=512):
     log(f"RL train step: {per * 1e3:.1f} ms/step -> {1 / per:.2f} steps/s "
         f"(batch {batch} @ {imgsz}px, production path: bf16 reward "
         f"detector, cached input loss, donated state)")
-    return per
+    # cost from the SAME jit object (donation included), so the compile is
+    # a persistent-cache deserialization, never a fresh 5-min tunnel compile
+    util = {}
+    try:
+        from adaptiveisp_tpu.obs import roofline
+
+        cost = step_fn.lower(cur[0].state, yolo_vars, b,
+                             jax.random.PRNGKey(0), 0.0).compile()
+        ca = cost.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        if ca:
+            u = roofline.utilization(per, float(ca.get("flops", 0.0)),
+                                     float(ca.get("bytes accessed", 0.0)))
+            util = {f"train_step_{k}": v for k, v in u.items()
+                    if k in ("mfu_pct", "hbm_pct", "gflops", "bound")}
+    except Exception as e:
+        log(f"bench: train-step utilization unavailable ({e!r})")
+    return per, util
+
+
+def bench_latency_curve(size=512, steps=5, batches=(1, 2, 4, 8), reps=12):
+    """Serving latency curve: p50/p95 wall latency per batch size for the
+    blend-rollout + bf16 YOLOv3 + NMS program (the reference protocol is
+    batch-1 latency, val_adaptiveisp.py:466-470; the curve makes both the
+    latency and the throughput regime regression-visible).
+
+    Wall latency includes dispatch + result fetch — through the dev tunnel
+    that adds RTT a local deployment would not see, so p50 here is an upper
+    bound on real serving latency; the marginal device times live in the
+    adaptive-inference / adaptive-throughput sections."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptiveisp_tpu.config import Config
+    from adaptiveisp_tpu.detect.model import create_detector, \
+        decode_predictions
+    from adaptiveisp_tpu.detect.nms import non_max_suppression
+    from adaptiveisp_tpu.policy.agent import create_agent_state
+    from adaptiveisp_tpu.policy.states import get_initial_states
+
+    cfg = Config()
+    ka, ky = jax.random.split(jax.random.PRNGKey(0))
+    agent, agent_vars = create_agent_state(cfg, ka, image_size=size, batch=1)
+    yolo, yolo_vars = create_detector(ky, imgsz=256, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    out = {}
+    for batch in batches:
+        noises = jnp.asarray(
+            rng.rand(steps, batch, cfg.z_dim).astype(np.float32))
+        states0 = jnp.asarray(get_initial_states(batch, cfg.num_state_dim))
+
+        def one_batch(avars, yvars, img):
+            st, stop = states0, jnp.zeros((batch,), jnp.float32)
+
+            def body(carry, z):
+                im, st, stop = carry
+                o, ns, _, _, _, _ = agent.apply(
+                    avars, im, z, st, 1.0, train=False,
+                    selected_filter_id=jnp.int32(-1), render="blend")
+                keep = stop[:, None, None, None] > 0
+                im = jnp.where(keep, im, o)
+                st = jnp.where(stop[:, None] > 0, st, ns)
+                stop = jnp.maximum(stop, st[:, 1])
+                return (im, st, stop), None
+
+            (im, _, _), _ = jax.lax.scan(body, (img, st, stop), noises)
+            preds = yolo.apply(yvars, im, train=False)
+            det, n = non_max_suppression(
+                decode_predictions(preds), conf_thres=0.001, iou_thres=0.6,
+                max_det=300, multi_label=True)
+            return im.mean() + 0.0 * det.sum()
+
+        run = jax.jit(one_batch)
+        img0 = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
+        float(run(agent_vars, yolo_vars, img0))  # compile + warm
+        lats = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(agent_vars, yolo_vars, img0))
+            lats.append(time.perf_counter() - t0)
+        lats.sort()
+        p50 = lats[len(lats) // 2]
+        p95 = lats[min(len(lats) - 1, int(round(0.95 * (len(lats) - 1))))]
+        out[f"latency_b{batch}_p50_ms"] = round(p50 * 1e3, 2)
+        out[f"latency_b{batch}_p95_ms"] = round(p95 * 1e3, 2)
+        log(f"latency batch {batch}: p50 {p50 * 1e3:.1f} ms  "
+            f"p95 {p95 * 1e3:.1f} ms (wall, incl. tunnel RTT)")
+    return out
+
+
+def bench_train_e2e(batch=8, imgsz=512, n_images=32, steps=10):
+    """End-to-end data-fed RL training throughput: the REAL Trainer host
+    loop — disk decode -> letterbox -> unprocess -> device replay pool ->
+    jitted step -> divergence guard -> pool write-back — not pre-staged
+    arrays.  The complement to train_steps_per_sec (device-only); the gap
+    between the two is the host-loop overhead (VERDICT r4 weak #3)."""
+    import tempfile
+
+    from PIL import Image
+
+    from adaptiveisp_tpu.config import Config, TrainConfig
+    from adaptiveisp_tpu.train.trainer import Trainer
+
+    rng = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    img_dir = os.path.join(tmp, "images")
+    lab_dir = os.path.join(tmp, "labels")
+    os.makedirs(img_dir), os.makedirs(lab_dir)
+    for i in range(n_images):
+        arr = (rng.rand(imgsz, imgsz, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, f"{i}.jpg"))
+        with open(os.path.join(lab_dir, f"{i}.txt"), "w") as f:
+            f.write("2 0.5 0.5 0.3 0.4\n")
+
+    cfg = Config(replay_memory_size=n_images)
+    tcfg = TrainConfig(batch_size=batch, epochs=1, imgsz=imgsz)
+    trainer = Trainer(cfg, tcfg, img_dir, save_dir=os.path.join(tmp, "exp"),
+                      log=False, device_replay=True, data_source="raw")
+    try:
+        trainer.train(max_steps=2, print_freq=10 ** 6)  # compile + warm
+        t0 = time.perf_counter()
+        n0 = int(np.asarray(trainer.state.step))
+        trainer.train(max_steps=n0 + steps, print_freq=10 ** 6)
+        n1 = int(np.asarray(trainer.state.step))
+        dt = (time.perf_counter() - t0) / max(1, n1 - n0)
+    finally:
+        trainer.close()
+    log(f"e2e train: {dt * 1e3:.1f} ms/step -> {1 / dt:.2f} steps/s "
+        f"(real Trainer loop, disk-fed, batch {batch} @ {imgsz}px)")
+    return {"train_steps_per_sec_e2e": round(1.0 / dt, 3)}
 
 
 def _section_render():
-    return {"render_mpix_s": round(bench_tpu_render(), 2)}
+    mpix, util = bench_tpu_render()
+    return {"render_mpix_s": round(mpix, 2), **util}
 
 
 def _section_nlm():
-    t_pallas, t_xla = bench_nlm()
+    t_pallas, t_xla, util = bench_nlm()
     return {"nlm_pallas_ms": round(t_pallas * 1e3, 3),
-            "nlm_xla_ms": round(t_xla * 1e3, 3)}
+            "nlm_xla_ms": round(t_xla * 1e3, 3), **util}
 
 
 def _section_adaptive():
-    return {"adaptive_inference_ms_img":
-            round(bench_adaptive_inference() * 1e3, 3)}
+    dt, util = bench_adaptive_inference()
+    return {"adaptive_inference_ms_img": round(dt * 1e3, 3), **util}
 
 
 def _section_adaptive_bf16():
-    return {"adaptive_inference_bf16_ms_img":
-            round(bench_adaptive_inference(half=True) * 1e3, 3)}
+    dt, util = bench_adaptive_inference(half=True)
+    return {"adaptive_inference_bf16_ms_img": round(dt * 1e3, 3), **util}
 
 
 def _section_train():
-    return {"train_steps_per_sec": round(1.0 / bench_train_step(), 3)}
+    per, util = bench_train_step()
+    return {"train_steps_per_sec": round(1.0 / per, 3), **util}
 
 
 def _section_throughput():
-    return {"adaptive_throughput_imgs_s":
-            round(bench_adaptive_throughput(), 2)}
+    ips, util = bench_adaptive_throughput()
+    return {"adaptive_throughput_imgs_s": round(ips, 2), **util}
+
+
+def _section_latency_curve():
+    return bench_latency_curve()
+
+
+def _section_train_e2e():
+    return bench_train_e2e()
 
 
 # cheapest first; the train step (a ~5-min cold compile through the tunneled
@@ -480,6 +673,8 @@ _SECTIONS = [
     ("render", 60, _section_render),
     ("train-step", 120, _section_train),
     ("adaptive-inference", 90, _section_adaptive),
+    ("train-e2e", 180, _section_train_e2e),
+    ("latency-curve", 150, _section_latency_curve),
     ("nlm", 45, _section_nlm),
     ("adaptive-inference-bf16", 90, _section_adaptive_bf16),
     ("adaptive-throughput", 90, _section_throughput),
@@ -593,11 +788,18 @@ def _emit():
     _RESULT["emitted"] = True
     tpu = _RESULT["tpu"] or 0.0
     cpu = _RESULT["cpu"]
+    # pinned denominator: max(live proxy, idle-host constant) — host
+    # contention can only make the multiplier more conservative (see
+    # PINNED_CPU_MPIX_S)
+    denom = max(cpu, PINNED_CPU_MPIX_S) if cpu else PINNED_CPU_MPIX_S
+    _RESULT["extras"]["cpu_proxy_measured_mpix_s"] = (
+        round(cpu, 2) if cpu else None)
+    _RESULT["extras"]["cpu_baseline_used_mpix_s"] = round(denom, 2)
     print(json.dumps({
         "metric": "fused_isp_render_throughput",
         "value": round(tpu, 2),
         "unit": "MPix/s/chip",
-        "vs_baseline": round(tpu / cpu, 2) if cpu else None,
+        "vs_baseline": round(tpu / denom, 2),
         "extras": _RESULT["extras"],
     }), flush=True)
 

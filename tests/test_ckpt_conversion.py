@@ -358,3 +358,131 @@ def test_csp_family_conversion_parity():
         np.testing.assert_allclose(
             np.asarray(got[lvl]), want[lvl].numpy(), atol=1e-4,
             err_msg=f"level {lvl}")
+
+
+def test_full_yolov3_conversion_roundtrip():
+    """FULL YOLOv3 at real layer counts (Darknet-53 + 3-level head, the
+    production reward/eval detector): a torch-layout (ultralytics-named)
+    state dict synthesized from the flax init tree converts back to the
+    IDENTICAL tree, and the converted model's forward matches bitwise.
+
+    Module-level *semantic* parity vs real torch modules is proven by the
+    other tests in this file; this one proves the converter's structural
+    coverage at the full 222-leaf scale the PARITY.md runbook needs
+    (ckpt-lod-df-1.0 / yolov3.pt conversion)."""
+    import re
+
+    from adaptiveisp_tpu.detect.model import create_detector
+
+    model, variables = create_detector(jax.random.PRNGKey(3), imgsz=64)
+    params0, stats0 = variables["params"], variables["batch_stats"]
+
+    # ---- inverse converter: flax trees -> ultralytics naming ----
+    sd = {}
+
+    def emit(prefix, ptree, stree):
+        for k, v in ptree.items():
+            if k == "conv":
+                sd[prefix + ".conv.weight"] = np.transpose(
+                    np.asarray(v["kernel"]), (3, 2, 0, 1))
+            elif k == "bn":
+                sd[prefix + ".bn.weight"] = np.asarray(v["scale"])
+                sd[prefix + ".bn.bias"] = np.asarray(v["bias"])
+                sd[prefix + ".bn.running_mean"] = np.asarray(
+                    stree["bn"]["mean"])
+                sd[prefix + ".bn.running_var"] = np.asarray(
+                    stree["bn"]["var"])
+            elif re.fullmatch(r"m\d+", k):  # Detect head conv
+                j = k[1:]
+                sd[prefix + f".m.{j}.weight"] = np.transpose(
+                    np.asarray(v["kernel"]), (3, 2, 0, 1))
+                sd[prefix + f".m.{j}.bias"] = np.asarray(v["bias"])
+            else:  # nested block (cv1/cv2/...)
+                emit(prefix + "." + k, v, stree.get(k, {}))
+
+    for lname in params0:
+        m = re.fullmatch(r"l(\d+)(?:_(\d+))?", lname)
+        i, r = m.group(1), m.group(2)
+        prefix = f"model.{i}" + (f".{r}" if r is not None else "")
+        emit(prefix, params0[lname], stats0.get(lname, {}))
+
+    params, stats = C.convert_yolo_state_dict(sd)
+
+    flat0, _ = jax.tree_util.tree_flatten_with_path(
+        {"p": params0, "s": stats0})
+    flat1_map = {jax.tree_util.keystr(k): v for k, v in
+                 jax.tree_util.tree_flatten_with_path(
+                     {"p": params, "s": stats})[0]}
+    assert len(flat0) == len(flat1_map)  # no leaf lost or invented
+    for k, v0 in flat0:
+        ks = jax.tree_util.keystr(k)
+        assert ks in flat1_map, ks
+        np.testing.assert_array_equal(np.asarray(v0),
+                                      np.asarray(flat1_map[ks]),
+                                      err_msg=ks)
+
+    x = jnp.asarray(RNG.rand(1, 64, 64, 3).astype(np.float32))
+    want = model.apply({"params": params0, "batch_stats": stats0}, x,
+                       train=False)
+    got = model.apply({"params": params, "batch_stats": stats}, x,
+                      train=False)
+    for lvl in range(3):
+        np.testing.assert_array_equal(np.asarray(got[lvl]),
+                                      np.asarray(want[lvl]))
+
+
+def test_parity_runbook_snippet(tmp_path):
+    """Execute PARITY.md's conversion snippet verbatim-in-shape: torch.load
+    a ckpt-lod-style .pth, convert_agent_state_dict(sd, DEFAULT_CONFIG),
+    pickle the payload, and load it back through the val_isp loading path
+    (ckpt_lib.load_weights_only -> payload['agent_model']).  Guards the
+    runbook against module-surface drift."""
+    import pickle
+
+    from adaptiveisp_tpu.config import DEFAULT_CONFIG
+    from adaptiveisp_tpu.train import checkpoint as ckpt_lib
+
+    torch.manual_seed(5)
+    in_ch = 3 + DEFAULT_CONFIG.num_state_dim
+    t_fe = TorchTrunkModel(in_ch).eval()
+    t_sel = TorchTrunkModel(in_ch).eval()
+    agent_sd = {}
+    for k, v in t_fe.state_dict().items():
+        agent_sd[k] = v
+    for k, v in t_sel.state_dict().items():
+        agent_sd[k.replace("feature_extractor", "action_selection")] = v
+    for name, mod in _torch_agent_heads().items():
+        agent_sd[name + ".weight"] = mod.weight.detach()
+        agent_sd[name + ".bias"] = mod.bias.detach()
+    pth = tmp_path / "ckpt-lod-df-1.0.pth"
+    torch.save({"agent_model": agent_sd, "iter": 1234}, str(pth))
+
+    # ---- the runbook snippet ----
+    ckpt = torch.load(str(pth), map_location="cpu")
+    sd = {k: v.numpy() for k, v in ckpt["agent_model"].items()}
+    params, stats = C.convert_agent_state_dict(sd, DEFAULT_CONFIG)
+    payload = {"iter": ckpt.get("iter", 0),
+               "agent_model": {"params": params, "batch_stats": stats}}
+    out = tmp_path / "agent_lod.pkl"
+    pickle.dump(payload, open(str(out), "wb"))
+    # ---- end snippet ----
+
+    loaded = ckpt_lib.load_weights_only(str(out))
+    assert loaded["iter"] == 1234
+    agent_vars = loaded["agent_model"]
+    agent_vars = jax.tree_util.tree_map(jnp.asarray, agent_vars)
+
+    # the loaded payload drives a real eval rollout (val_isp.py:92-94 path)
+    from adaptiveisp_tpu.eval.rollout import jit_rollout, no_pipeline
+    from adaptiveisp_tpu.policy.agent import Agent
+    from adaptiveisp_tpu.policy.states import get_initial_states
+
+    agent = Agent(cfg=DEFAULT_CONFIG, feature_size=64)
+    roll = jit_rollout(agent, steps=2, render="switch")
+    img = jnp.asarray(RNG.rand(1, 64, 64, 3).astype(np.float32))
+    noises = jnp.asarray(RNG.rand(2, 1, DEFAULT_CONFIG.z_dim)
+                         .astype(np.float32))
+    st = jnp.asarray(get_initial_states(1, DEFAULT_CONFIG.num_state_dim))
+    res = roll(agent_vars, img, noises, st, no_pipeline(2))
+    assert np.isfinite(np.asarray(res.image)).all()
+    assert np.asarray(res.selected).shape == (2, 1)

@@ -262,3 +262,58 @@ def test_callbacks_threaded_dispatch():
     assert seen["args"] == (41, "k")
     assert seen["thread"] is not threading.main_thread()
     assert seen["thread"].daemon
+
+
+def test_xplane_component_breakdown(tmp_path):
+    """obs/trace.py parses an XSpace and buckets device time by the
+    named_scope path in tf_op (hermetic: synthetic proto, no device)."""
+    pytest.importorskip("tensorflow")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    from adaptiveisp_tpu.obs.trace import (component_breakdown,
+                                           xplane_op_table)
+
+    xs = xplane_pb2.XSpace()
+    plane = xs.planes.add()
+    plane.name = "/device:TPU:0"
+    smd = {"device_duration_ps": 1, "tf_op": 2, "flops": 3,
+           "bytes_accessed": 4, "hlo_category": 5}
+    for name, sid in smd.items():
+        plane.stat_metadata[sid].id = sid
+        plane.stat_metadata[sid].name = name
+    ops = [("fusion.1", "jit(step)/agent_fwd/conv", 7000, 100, 50),
+           ("fusion.2", "jit(step)/transpose(jvp(step))/agent_fwd/conv",
+            2000, 40, 10),
+           ("fusion.3", "jit(step)/value_net/dot", 1000, 10, 5)]
+    line = plane.lines.add()
+    line.name = "XLA Ops"
+    for i, (nm, tf_op, dur, fl, by) in enumerate(ops, start=1):
+        md = plane.event_metadata[i]
+        md.id, md.name, md.display_name = i, nm, nm
+        s = md.stats.add(); s.metadata_id = smd["tf_op"]; s.str_value = tf_op
+        s = md.stats.add(); s.metadata_id = smd["flops"]; s.int64_value = fl
+        s = md.stats.add()
+        s.metadata_id = smd["bytes_accessed"]; s.int64_value = by
+        for _ in range(2):  # two occurrences of each op
+            ev = line.events.add()
+            ev.metadata_id = i
+            s = ev.stats.add()
+            s.metadata_id = smd["device_duration_ps"]
+            s.int64_value = dur
+
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    (d / "host.xplane.pb").write_bytes(xs.SerializeToString())
+
+    table = xplane_op_table(str(tmp_path))
+    assert len(table) == 3
+    assert table[0]["name"] == "fusion.1"
+    assert table[0]["duration_ps"] == 14000  # 2 occurrences summed
+
+    comps = component_breakdown(table)
+    # agent bucket = fwd + transposed bwd
+    assert comps["agent_fwd"]["ms"] == round((14000 + 4000) * 1e-9, 3)
+    assert comps["value_net"]["pct"] == round(100 * 2000 / 20000, 1)
+    assert comps["agent_fwd"]["gflops"] == round((200 + 80) / 1e9, 2)
+    assert comps["total"]["ms"] == round(20000 * 1e-9, 3)
+    assert comps["other"]["ms"] == 0
