@@ -61,7 +61,8 @@ class ISPDataset:
                  noise_level=None, use_linear: bool = False,
                  limit: int = -1, train: bool = True,
                  cache_labels: bool = True, cache_images=None,
-                 cache_threads: int = 8, seed: int = 0):
+                 cache_threads: int = 8, seed: int = 0,
+                 decode_threads: int = 4):
         self.img_size = img_size
         self.source = source
         self.high_res = high_res
@@ -75,6 +76,12 @@ class ISPDataset:
         # global np.random — global state made runs depend on import/suite
         # order and raced with per-image val reseeds, round-3 fix)
         self.rng = np.random.RandomState(seed)
+        # get_batch decodes images on a small thread pool (PIL decode and
+        # the native csrc resize release the GIL); the random unprocess
+        # draws stay SERIAL in index order so the documented host-twin
+        # draw-order parity (data/raw_np.py) is unaffected
+        self.decode_threads = decode_threads
+        self._preload: dict = {}
 
         self.im_files = parse_image_list(path)
         if limit > 0:
@@ -147,17 +154,10 @@ class ISPDataset:
     def _load_resized(self, index: int):
         """Load + resize longest side to img_size (reference load_image),
         via the RAM/disk cache when enabled."""
-        if self.cache_mode == "ram":
-            img, h0w0 = self._ram_cache[index]
-            img = img.copy()  # callers transform in place downstream
-            return img, tuple(int(v) for v in h0w0), img.shape[:2]
-        if self.cache_mode == "disk":
-            with np.load(self._npy_files[index]) as z:
-                img = z["img"]
-                h0, w0 = (int(v) for v in z["h0w0"])
-            return img, (h0, w0), img.shape[:2]
-        img, h0w0 = self._decode_resized(index)
-        return img, tuple(int(v) for v in h0w0), img.shape[:2]
+        pre = self._preload.pop(index, None)
+        if pre is not None:  # decoded by get_batch's thread pool
+            return pre
+        return self._load_one(index)
 
     def __getitem__(self, index: int):
         index = int(self.indices[index])
@@ -224,8 +224,37 @@ class ISPDataset:
 
     # ---------------------------------------------------------------- #
     def get_batch(self, indices: List[int]):
-        records = [self[i] for i in indices]
+        resolved = [int(self.indices[i]) for i in indices]
+        uniq = list(dict.fromkeys(resolved))
+        if self.decode_threads > 1 and len(uniq) > 1 \
+                and self.cache_mode != "ram":
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                    min(self.decode_threads, len(uniq))) as ex:
+                loaded = list(ex.map(
+                    lambda i: self._load_one(i), uniq))
+            # entries are POPPED on use: duplicate positions re-load their
+            # own copy, so no two records share a mutable array
+            self._preload = dict(zip(uniq, loaded))
+        try:
+            records = [self[i] for i in indices]
+        finally:
+            self._preload = {}
         return collate(records)
+
+    def _load_one(self, index: int):
+        if self.cache_mode == "ram":
+            img, h0w0 = self._ram_cache[index]
+            img = img.copy()
+            return img, tuple(int(v) for v in h0w0), img.shape[:2]
+        if self.cache_mode == "disk":
+            with np.load(self._npy_files[index]) as z:
+                img = z["img"]
+                h0, w0 = (int(v) for v in z["h0w0"])
+            return img, (h0, w0), img.shape[:2]
+        img, h0w0 = self._decode_resized(index)
+        return img, tuple(int(v) for v in h0w0), img.shape[:2]
 
     def split(self, n_val: int, seed: int = 0):
         """Random train/val subset split of one file list — the reference's

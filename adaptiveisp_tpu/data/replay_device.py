@@ -58,6 +58,21 @@ def _scatter(pool, idx, values):
     return pool.at[idx].set(values)
 
 
+# Fixed-shape scatter with dropped out-of-range rows: every pool update
+# pads its index vector to a SMALL bounded set of lengths (the batch size,
+# or a power-of-two refresh bucket) with `pool_size` (out of range, mode
+# 'drop').  Variable-length index ops would compile a fresh executable per
+# distinct length — through the tunneled remote-compile service that cost
+# 1-2 s PER STEP until every length had been seen (tools/profile_e2e.py).
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_drop(pool, idx, values):
+    return pool.at[idx].set(values, mode="drop")
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1).bit_length())
+
+
 def _make_sharded_ops(mesh):
     """Shard-local gather/scatter over a pool sharded on the data axis.
 
@@ -106,6 +121,7 @@ class DeviceReplayMemory:
                                   prefetch=prefetch, seed=seed)
         self.rng = np.random.RandomState(seed + 1)
         self._py_rng = random.Random(seed + 2)
+        self._fresh_queue: List = []  # decoded-but-unused feeder leftovers
 
         # initial fill
         images = []
@@ -130,15 +146,32 @@ class DeviceReplayMemory:
         self.states = get_initial_states(self.pool_size, cfg.num_state_dim)
 
         self.loss_fn = loss_fn
-        self.loss_in = np.zeros((self.pool_size, 1), np.float32)
+        # DEVICE-RESIDENT loss cache: every producer (seed, write-back) and
+        # consumer (sampled_loss -> the train step) is on-device, so keeping
+        # it in HBM removes one blocking device->host fetch per slot refresh
+        # (through a tunneled dev chip that fetch is a full RTT per step;
+        # locally it still saves a sync) — values identical to the former
+        # host array (tests/test_trainer_validator.py cached-reward parity)
+        self.loss_in = jnp.zeros((self.pool_size, 1), jnp.float32)
         if loss_fn is not None:
-            step = max(1, feeder_batch)
-            for s in range(0, self.pool_size, step):
-                sl = slice(s, min(s + step, self.pool_size))
+            fb = max(1, feeder_batch)
+            for s in range(0, self.pool_size, fb):
+                e = min(s + fb, self.pool_size)
                 # device slice straight into the jitted loss — no
-                # device->host->device round trip of the pool images
-                self.loss_in[sl] = np.asarray(loss_fn(
-                    self.images[sl], [m["label"] for m in self.meta[sl]]))
+                # device->host->device round trip of the pool images; the
+                # tail chunk pads to the same [fb, ...] shape _seed_losses
+                # uses so the detector-forward graph compiles exactly once
+                chunk = self.images[s:e]
+                labels = [m["label"] for m in self.meta[s:e]]
+                if e - s < fb:
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.zeros((fb - (e - s),) + chunk.shape[1:],
+                                          chunk.dtype)], 0)
+                    empty = (labels[0][:0] if labels and labels[0].size
+                             else np.zeros((0, 5), np.float32))
+                    labels = labels + [empty] * (fb - (e - s))
+                self.loss_in = self.loss_in.at[s:e].set(
+                    jnp.asarray(loss_fn(chunk, labels))[:e - s])
 
     # ------------------------------------------------------------------ #
     def sample(self, batch_size: int):
@@ -183,8 +216,9 @@ class DeviceReplayMemory:
         return idx, imgs, self.states[idx].copy(), labels, paths, shapes, z
 
     def sampled_loss(self, idx: np.ndarray) -> np.ndarray:
-        """Cached input losses for the sampled slots [n, 1]."""
-        return self.loss_in[idx].copy()
+        """Cached input losses for the sampled slots [n, 1] (device
+        array: feeds the jitted step directly, no host round trip)."""
+        return jnp.take(self.loss_in, jnp.asarray(idx), axis=0)
 
     def replace(self, idx: np.ndarray, retouch_device, new_states: np.ndarray,
                 diverged: bool = False, retouch_loss=None):
@@ -215,11 +249,15 @@ class DeviceReplayMemory:
                 keep.append(pos)
         if keep:
             keep_pos = np.asarray(keep)
+            # padded to the FULL batch length (fixed shape, one compile):
+            # dropped rows get an out-of-range index; values are the whole
+            # retouch batch, already on device — no gather, no upload
+            padded = np.full((len(idx),), self.pool_size, np.int32)
+            padded[keep_pos] = idx[keep_pos]
             if self.mesh is None:
-                slots = jnp.asarray(idx[keep_pos])
-                self.images = _scatter(self.images, slots,
-                                       _gather(retouch_device,
-                                               jnp.asarray(keep_pos)))
+                self.images = _scatter_drop(self.images,
+                                            jnp.asarray(padded),
+                                            retouch_device)
             else:
                 # batch position p was drawn from shard p // bps, so kept
                 # rows already live on the right shard; dropped rows get an
@@ -232,8 +270,11 @@ class DeviceReplayMemory:
                                                retouch_device)
             self.states[idx[keep_pos]] = new_states[keep_pos]
             if self.loss_fn is not None and retouch_loss is not None:
-                self.loss_in[idx[keep_pos]] = np.asarray(
-                    retouch_loss)[keep_pos]
+                # same fixed-shape dropped-row scatter; retouch_loss is the
+                # step's device array — the update stays on-device
+                self.loss_in = _scatter_drop(self.loss_in,
+                                             jnp.asarray(padded),
+                                             jnp.asarray(retouch_loss))
         if refresh:
             self._refresh_slots(np.asarray(refresh))
 
@@ -242,18 +283,39 @@ class DeviceReplayMemory:
         image traffic in steady state)."""
         if len(slots) == 0:
             return
-        fresh_imgs = []
+        # pull from the leftover queue first: a refresh of n slots consumes
+        # exactly n decoded images.  Without this, every refresh drained a
+        # FULL feeder batch (32 images of decode+letterbox+unprocess, ~2.6 s
+        # at 512px) and discarded the surplus — the e2e phase profile
+        # (tools/profile_e2e.py) showed that one line dominating the whole
+        # training step 75-to-1.
+        fresh_imgs = self._fresh_queue
         while len(fresh_imgs) < len(slots):
             b = self.feeder.next_batch()
             for i in range(len(b["im"])):
                 fresh_imgs.append((b["im"][i], {
                     "label": b["label"][i], "path": b["path"][i],
                     "shape": b["shape"][i]}))
+        self._fresh_queue = fresh_imgs[len(slots):]
         fresh_imgs = fresh_imgs[:len(slots)]
         stack = np.stack([f[0] for f in fresh_imgs], 0)
+        pvals_dev = None
         if self.mesh is None:
-            self.images = _scatter(self.images, jnp.asarray(slots),
-                                   jnp.asarray(stack))
+            # pad to a power-of-two bucket (bounded shape set: at most
+            # log2(pool) compiled scatter variants, each persistent-cached)
+            # with out-of-range dropped rows — a per-exact-count shape
+            # would recompile through the tunnel on every new count.
+            # The padded image block uploads ONCE (pvals_dev) and is then
+            # reused by the loss seeding below — fresh-image upload is the
+            # only steady-state host->device traffic, don't pay it twice.
+            b = min(_pow2(len(slots)), self.pool_size)
+            pidx = np.full((b,), self.pool_size, np.int32)
+            pidx[:len(slots)] = slots
+            pvals = np.zeros((b,) + stack.shape[1:], stack.dtype)
+            pvals[:len(slots)] = stack
+            pvals_dev = jnp.asarray(pvals)
+            self.images = _scatter_drop(self.images, jnp.asarray(pidx),
+                                        pvals_dev)
         else:
             # group by shard, pad every shard's group to the max count with
             # an out-of-range index (dropped) + a zero image row
@@ -280,22 +342,42 @@ class DeviceReplayMemory:
         self.states[slots] = get_initial_states(len(slots),
                                                 self.cfg.num_state_dim)
         if self.loss_fn is not None:
-            self.loss_in[slots] = self._seed_losses(
-                stack, [m["label"] for _, m in fresh_imgs])
+            seeded, b = self._seed_losses(
+                stack, [m["label"] for _, m in fresh_imgs],
+                padded_dev=pvals_dev)
+            pidx = np.full((b,), self.pool_size, np.int32)
+            pidx[:len(slots)] = slots
+            self.loss_in = _scatter_drop(self.loss_in, jnp.asarray(pidx),
+                                         seeded)
 
-    def _seed_losses(self, stack: np.ndarray, labels) -> np.ndarray:
-        """Seed cached input losses, padding the batch to a power-of-two
-        bucket so the jitted detector forward compiles once per bucket
-        instead of once per distinct refresh count."""
+    def _seed_losses(self, stack: np.ndarray, labels, padded_dev=None):
+        """Seed cached input losses, padded to a power-of-two bucket capped
+        at the feeder batch — a bounded set of detector-forward graphs
+        (compile >1 s each, so they land in the persistent cache) instead
+        of one per distinct refresh count.  Returns the PADDED device
+        losses + the bucket size; the caller scatters them with dropped
+        out-of-range rows, keeping every shape in the bounded set.
+
+        padded_dev: the already-uploaded pow2-padded device image block
+        (the refresh scatter's values) — reused so the images upload once."""
         n = stack.shape[0]
-        bucket = 1 << max(0, (n - 1).bit_length())
-        if bucket > n:
+        fb = max(1, self.feeder.batch_size)
+        bucket = _pow2(n) if n <= fb else ((n + fb - 1) // fb) * fb
+        empty = (labels[0][:0] if len(labels) and labels[0].size
+                 else np.zeros((0, 5), np.float32))
+        labels = list(labels) + [empty] * (bucket - n)
+        if padded_dev is not None and padded_dev.shape[0] == bucket:
+            imgs = padded_dev
+        elif bucket > n:
             pad = np.zeros((bucket - n,) + stack.shape[1:], stack.dtype)
-            stack = np.concatenate([stack, pad], 0)
-            empty = (labels[0][:0] if len(labels) and labels[0].size
-                     else np.zeros((0, 5), np.float32))
-            labels = list(labels) + [empty] * (bucket - n)
-        return np.asarray(self.loss_fn(stack, labels))[:n]
+            imgs = np.concatenate([stack, pad], 0)
+        else:
+            imgs = stack
+        chunk = min(bucket, fb) if n > fb else bucket
+        outs = [jnp.asarray(self.loss_fn(imgs[s:s + chunk],
+                                         list(labels[s:s + chunk])))
+                for s in range(0, bucket, chunk)]
+        return jnp.concatenate(outs, axis=0), bucket
 
     # ------------------------------------------------------------------ #
     def stats(self) -> Dict[str, float]:

@@ -188,9 +188,12 @@ class Trainer:
 
                 def pool_loss_fn(images_np, labels):
                     targets, tmask = pad_targets(labels, self.t_max)
-                    return np.asarray(raw_loss(
+                    # returns the DEVICE array: the pool's loss cache is
+                    # device-resident, fetching here would add a blocking
+                    # host round trip per slot refresh
+                    return raw_loss(
                         self.yolo_vars, jnp.asarray(images_np),
-                        jnp.asarray(targets), jnp.asarray(tmask)))
+                        jnp.asarray(targets), jnp.asarray(tmask))
 
             self.device_replay = DeviceReplayMemory(
                 cfg, train_ds, tcfg.batch_size, seed=tcfg.seed, mesh=mesh,
@@ -272,7 +275,9 @@ class Trainer:
                           f"refreshing slots")
                 self.device_replay.replace(
                     idx, out.retouch, new_states, diverged=diverged,
-                    retouch_loss=(metrics["retouch_loss_per_image"]
+                    # the DEVICE copy, not the fetched one: the loss-cache
+                    # scatter stays on-device
+                    retouch_loss=(out.metrics["retouch_loss_per_image"]
                                   if self.cached_reward else None))
             else:
                 retouch, new_states, metrics = jax.device_get(

@@ -140,7 +140,12 @@ def main():
     cfg = Config(replay_memory_size=min(128, args.n_images * 2),
                  save_model_freq=half, val_freq=10 ** 9,
                  print_freq=max(1, args.steps // 20))
-    tcfg = TrainConfig(batch_size=args.batch, epochs=1, imgsz=args.imgsz)
+    # epochs sized so max_iter_step ~= the soak length: the progress-
+    # annealed penalties and the segmented LR decay then run their real
+    # schedule over the soak instead of saturating at step 125
+    epochs = max(1, int(np.ceil(args.steps * args.batch / 1000)))
+    tcfg = TrainConfig(batch_size=args.batch, epochs=epochs,
+                       imgsz=args.imgsz)
     save_dir = os.path.join(root, "exp")
     trainer = Trainer(cfg, tcfg, img_dir, save_dir=save_dir, log=False,
                       device_replay=True, data_source="raw")
