@@ -180,9 +180,9 @@ def main():
         # (the state AFTER that step), which is where training resumes
         t2.train(max_steps=restored_step + args.resume_extra - 1)
         cont = [h["value_loss"] for h in t2.history]
-        resume_ok = (restored_step == half + 1
-                     and len(cont) == args.resume_extra
-                     and np.isfinite(cont).all())
+        resume_ok = bool(restored_step == half + 1
+                         and len(cont) == args.resume_extra
+                         and np.isfinite(cont).all())
         resume_note = (f"restored step {restored_step}, "
                        f"{len(cont)} continuation steps, all finite")
         t2.close()
