@@ -77,9 +77,10 @@ class ISPDataset:
         # order and raced with per-image val reseeds, round-3 fix)
         self.rng = np.random.RandomState(seed)
         # get_batch decodes images on a small thread pool (PIL decode and
-        # the native csrc resize release the GIL); the random unprocess
-        # draws stay SERIAL in index order so the documented host-twin
-        # draw-order parity (data/raw_np.py) is unaffected
+        # the native csrc resize release the GIL, so the pool scales with
+        # host cores; on a 1-core host it is a wash, never a loss); the
+        # random unprocess draws stay SERIAL in index order so the
+        # documented host-twin draw-order parity (data/raw_np.py) holds
         self.decode_threads = decode_threads
         self._preload: dict = {}
 

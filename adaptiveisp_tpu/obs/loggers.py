@@ -49,6 +49,12 @@ class OfflineRunLogger:
                  config: Optional[Dict] = None):
         stamp = time.strftime("%Y%m%d_%H%M%S")
         self.dir = os.path.join(save_dir, f"offline-run-{stamp}")
+        # runs created within the same second (e.g. successive --evolve
+        # generations) must not share a directory
+        n = 2
+        while os.path.exists(self.dir):
+            self.dir = os.path.join(save_dir, f"offline-run-{stamp}-{n}")
+            n += 1
         self.files_dir = os.path.join(self.dir, "files")
         os.makedirs(self.files_dir, exist_ok=True)
         self._summary: Dict = {}

@@ -870,10 +870,12 @@ def main():
     # cache, so the retry resumes rather than repeats.
     for attempt in range(2):
         # attempt 0 is capped (observed: 363 s cold compile; 401 s warm
-        # under host CPU contention) so a stalled render can't starve the
-        # extras; attempt 1 gets the rest minus an extras reserve.
+        # under host CPU contention; device INIT alone measured 270 s on a
+        # congested tunnel, so the cap leaves room for init + measure) so a
+        # stalled render can't starve the extras; attempt 1 gets the rest
+        # minus an extras reserve.
         if attempt == 0:
-            deadline = max(60.0, min(remaining() - 600, 480))
+            deadline = max(60.0, min(remaining() - 600, 600))
         else:
             deadline = max(60.0, remaining() - 300)
         frag = _run_section_subprocess("render", deadline)
