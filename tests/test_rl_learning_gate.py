@@ -190,6 +190,26 @@ def gate(tmp_path_factory):
     trainer.train(max_steps=RL_STEPS, print_freq=200)
     res["map_agent"] = eval_agent()
     res["history"] = trainer.history
+
+    # realized rollout length of the TRAINED agent under the eval
+    # early-exit rollout (sel == -1 marks post-stop steps): the early-exit
+    # multiplier on batch-1 latency, measured where the agent has a real
+    # learned policy (the production-shape soak's random-reward agent
+    # never learns to stop; tools/soak.py records the same instrument)
+    from adaptiveisp_tpu.eval.rollout import jit_rollout, no_pipeline
+    from adaptiveisp_tpu.policy.states import get_initial_states
+
+    roll = jit_rollout(trainer.agent, steps=5, render="switch")
+    lengths = []
+    rs = np.random.RandomState(1)
+    for i in range(min(16, len(val_deg))):
+        im = val_deg[i]["im"][None]
+        noises = jnp.asarray(rs.rand(5, 1, cfg.z_dim).astype(np.float32))
+        st = jnp.asarray(get_initial_states(1, cfg.num_state_dim))
+        r = roll(agent_vars(), jnp.asarray(im), noises, st, no_pipeline(5))
+        lengths.append(int((np.asarray(r.selected)[:, 0] != -1).sum()))
+    res["realized_steps_mean"] = float(np.mean(lengths))
+    res["realized_steps"] = lengths
     trainer.close()
 
     # ---- fixed-pipeline baseline (the 70.1 row) ----
@@ -269,3 +289,16 @@ class TestLearningGate:
         structural, not marginal: measured agent 0.804 vs fixed 0.573.
         Gate on a strict win with a wide margin."""
         assert gate["map_agent"] > gate["map_fixed"] + 0.1
+
+
+@pytest.mark.slow
+class TestRealizedRollout:
+    def test_realized_rollout_length_recorded(self, gate):
+        """The trained agent's realized rollout lengths under the
+        early-exit eval rollout are valid (1..5 steps each) — the
+        early-exit multiplier datum behind the batch-1 latency number
+        (eval/rollout.py:38-46; val_adaptiveisp.py:307-309 break)."""
+        lengths = gate["realized_steps"]
+        assert len(lengths) >= 8
+        assert all(1 <= n <= 5 for n in lengths)
+        assert 1.0 <= gate["realized_steps_mean"] <= 5.0
