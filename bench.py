@@ -669,10 +669,13 @@ def _section_train_e2e():
 # is worth starting with the time left.
 # extras ordered by VALUE, not cost: under pressure the batch child streams
 # fragments in this order and a deadline kill keeps the prefix — the train
-# step and batch-1 latency are the headline secondary metrics, the nlm
-# kernel split and the bf16/batched variants are bonuses.  (Cold-cache cost
+# step, batch-1 latency, the disk-fed e2e trainer rate, and the latency
+# percentile curve are the headline secondary metrics; the nlm kernel
+# split and the bf16/batched variants are bonuses.  (Cold-cache cost
 # ordering matters less: the persistent .jax_cache ships with the checkout
 # the driver runs in, and the retry pass mops up what the batch missed.)
+# Every section also emits roofline extras (flops / MFU / HBM%% / bound)
+# via _util_extras — see obs/roofline.py and docs/PERF.md.
 _SECTIONS = [
     ("render", 60, _section_render),
     ("train-step", 120, _section_train),

@@ -109,6 +109,10 @@ def main():
     ap.add_argument("--n-images", type=int, default=64)
     ap.add_argument("--resume-extra", type=int, default=20,
                     help="steps to run after the mid-run resume check")
+    ap.add_argument("--runtime_penalty", action="store_true",
+                    help="train with the per-filter runtime cost penalty "
+                         "(reference config.py:24-25) — the mode that "
+                         "teaches short/cheap trajectories")
     ap.add_argument("--out", default="docs/SOAK_r05.json")
     args = ap.parse_args()
 
@@ -145,7 +149,8 @@ def main():
     # schedule over the soak instead of saturating at step 125
     epochs = max(1, int(np.ceil(args.steps * args.batch / 1000)))
     tcfg = TrainConfig(batch_size=args.batch, epochs=epochs,
-                       imgsz=args.imgsz)
+                       imgsz=args.imgsz,
+                       runtime_penalty=args.runtime_penalty)
     save_dir = os.path.join(root, "exp")
     trainer = Trainer(cfg, tcfg, img_dir, save_dir=save_dir, log=False,
                       device_replay=True, data_source="raw")
@@ -196,6 +201,7 @@ def main():
     trainer.close()
 
     payload = {
+        "runtime_penalty": bool(args.runtime_penalty),
         "steps": n_steps,
         "batch": args.batch,
         "imgsz": args.imgsz,
